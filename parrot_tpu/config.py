@@ -1,0 +1,144 @@
+"""Frozen configuration dataclasses for parrot-tpu.
+
+The reference (sotelo/parrot) configures everything through argparse flags
+passed as constructor kwargs (SURVEY.md §5 "Config / flag system";
+reference train.py/utils.py — mount empty, reconstructed). Here the same
+surface is a single frozen dataclass tree with model / data / train /
+sample sections; the CLIs in train.py / generate.py expose flags mirroring
+the reference names (--model_name, --dataset, --which_cost, --use_speaker,
+--sampling_bias, ...) and build one of these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Parrot model hyperparameters.
+
+    Mirrors the reference constructor kwargs (reference model.py
+    `Parrot(...)` — reconstructed per SURVEY.md §2.1): `rnn_h_dim`,
+    `readouts_dim`, `which_cost`, attention mixture count, MDN mixture
+    count, speaker conditioning.
+    """
+
+    # --- io dims ---
+    frame_size: int = 63          # WORLD feature vector dim per frame
+    vocab_size: int = 55          # character/phoneme inventory (incl. pad=0)
+    # --- encoder ---
+    embed_dim: int = 256          # char/phoneme embedding size
+    encoder_dim: int = 128        # per-direction BiLSTM hidden size
+    encoder_layers: int = 1
+    # --- decoder ---
+    rnn_h_dim: int = 512          # decoder LSTM hidden size (reference rnn_h_dim)
+    decoder_layers: int = 3       # stacked LSTMs (Graves-style)
+    readouts_dim: int = 512       # readout projection size (reference readouts_dim)
+    # --- attention (Graves GMM window; SURVEY.md §3.3) ---
+    attention_mixtures: int = 10  # K Gaussians in the window
+    attention_alignment: float = 1.0  # scale on the kappa increment (chars/step speed)
+    # --- output head ---
+    which_cost: str = "GMM"       # 'GMM' (mixture density) | 'MSE'
+    num_mixtures: int = 20        # M mixture components of the MDN head
+    min_log_sigma: float = -7.0   # lower clamp on MDN log-stddev (stability)
+    # --- conditioning ---
+    use_speaker: bool = False
+    num_speakers: int = 1
+    speaker_dim: int = 128
+    # --- regularization / stability ---
+    feedback_noise_level: float = 0.0  # gaussian noise on teacher-forced frames
+    layer_norm: bool = False           # layer norm inside LSTM cells
+    # --- numerics ---
+    compute_dtype: str = "float32"     # 'float32' | 'bfloat16' matmul compute
+
+    @property
+    def encoder_out_dim(self) -> int:
+        return 2 * self.encoder_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline configuration (reference datasets.py semantics)."""
+
+    dataset: str = "blizzard"     # corpus name: 'blizzard' | 'vctk' | path to hdf5
+    data_dir: str = "data"
+    batch_size: int = 32
+    seq_size: int = 50            # TBPTT segment length in frames (reference seq_size)
+    sort_pool_size: int = 20      # batches per sort-by-length pool (bucketing)
+    max_text_len: int = 256       # pad/truncate text ids to this length
+    normalize: bool = True        # apply global mean/std (on device)
+    prefetch: int = 2             # device prefetch depth (double buffering)
+    shuffle_seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop configuration (reference train.py GradientDescent setup)."""
+
+    model_name: str = "baseline"
+    save_dir: str = "saved_models"
+    learning_rate: float = 1e-3   # Adam
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_clip: float = 10.0       # global-norm step clipping (Blocks StepClipping)
+    lr_schedule: str = "constant" # 'constant' | 'exponential'
+    lr_decay_rate: float = 0.98
+    lr_decay_steps: int = 10000
+    num_steps: int = 100000       # FinishAfter
+    save_every: int = 1000        # Checkpoint cadence (steps)
+    eval_every: int = 500         # DataStreamMonitoring cadence (steps)
+    log_every: int = 50           # Printing cadence (steps)
+    keep_checkpoints: int = 3
+    track_best: bool = True       # TrackTheBest on valid cost
+    early_stop_patience: int = 0  # 0 = disabled; else evals without improvement
+    seed: int = 1234
+    num_devices: int = 0          # 0 = all visible devices (DP mesh size)
+    profile_steps: Tuple[int, int] = (0, 0)  # (start, stop) jax.profiler window; (0,0)=off
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    """Generation configuration (reference generate.py semantics)."""
+
+    sampling_bias: float = 0.0    # MDN bias b: sigma*=exp(-b), pi logits *=(1+b)
+    max_steps: int = 2048         # hard cap on generated frames
+    stop_threshold: float = 0.5   # attention-mass-past-end threshold for stopping
+    batch_size: int = 16
+    use_fused_kernel: bool = True # Pallas fused decode step when on TPU
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ParrotConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    sample: SampleConfig = dataclasses.field(default_factory=SampleConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ParrotConfig":
+        raw = json.loads(s)
+        return cls(
+            model=ModelConfig(**raw.get("model", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**{
+                k: tuple(v) if k == "profile_steps" else v
+                for k, v in raw.get("train", {}).items()
+            }),
+            sample=SampleConfig(**raw.get("sample", {})),
+        )
+
+    def replace(self, **sections) -> "ParrotConfig":
+        return dataclasses.replace(self, **sections)
+
+
+def replace(cfg, **kwargs):
+    """dataclasses.replace that works on any section config."""
+    return dataclasses.replace(cfg, **kwargs)

@@ -1,0 +1,20 @@
+"""Test configuration: run everything on a fake 8-device CPU mesh.
+
+Standard JAX technique for testing multi-chip sharding without a pod
+(SURVEY.md §4): force the host platform and expose 8 virtual devices.
+The container's sitecustomize imports jax and presets JAX_PLATFORMS to
+the TPU backend, so plain env vars are too late — use jax.config, which
+still works before backend initialization.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
