@@ -1,0 +1,116 @@
+"""HDF5 corpus format and reader.
+
+The reference stores preprocessed corpora (Blizzard, VCTK) as HDF5 read
+through Fuel's H5PYDataset (reference datasets.py — mount empty, per
+SURVEY.md §0). This is our own, simpler schema:
+
+  /features        vlen float32, entry i is utterance i flattened (T_i*D)
+  /text            vlen int32, token ids (0 = pad, never used in data)
+  /speaker         (N,) int32
+  attrs: frame_size, num_speakers, vocab_size,
+         features_mean (D,), features_std (D,)
+  /splits/<name>   (K,) int64 utterance indices per split
+
+Normalization stats are computed over the TRAIN split at corpus build
+time and stored in the file; they are applied on device, not here.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import h5py
+import numpy as np
+
+
+class H5Corpus:
+    """Read access to a parrot-tpu HDF5 corpus."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = h5py.File(path, "r")
+        self.frame_size = int(self._f.attrs["frame_size"])
+        self.num_speakers = int(self._f.attrs["num_speakers"])
+        self.vocab_size = int(self._f.attrs["vocab_size"])
+        self.mean = np.asarray(self._f.attrs["features_mean"], np.float32)
+        self.std = np.asarray(self._f.attrs["features_std"], np.float32)
+        self._features = self._f["features"]
+        self._text = self._f["text"]
+        self._speaker = self._f["speaker"][:]
+        # lengths are cheap to precompute once; used for bucketing
+        self.frame_lengths = np.asarray(self._f["frame_lengths"][:], np.int64)
+        self.text_lengths = np.asarray(self._f["text_lengths"][:], np.int64)
+
+    def split(self, name: str) -> np.ndarray:
+        return np.asarray(self._f["splits"][name][:], np.int64)
+
+    @property
+    def num_utterances(self) -> int:
+        return len(self._speaker)
+
+    def features(self, i: int) -> np.ndarray:
+        t = self.frame_lengths[i]
+        return self._features[i].reshape(t, self.frame_size)
+
+    def text(self, i: int) -> np.ndarray:
+        return np.asarray(self._text[i], np.int32)
+
+    def speaker(self, i: int) -> int:
+        return int(self._speaker[i])
+
+    def close(self):
+        self._f.close()
+
+
+def write_corpus(
+    path: str,
+    features: Sequence[np.ndarray],   # each (T_i, D) float32, RAW (unnormalized)
+    texts: Sequence[np.ndarray],      # each (U_i,) int32, ids >= 1
+    speakers: Sequence[int],
+    vocab_size: int,
+    splits: Dict[str, Sequence[int]],
+    num_speakers: Optional[int] = None,
+    charset: Optional[str] = None,
+) -> None:
+    """Write a corpus file; computes train-split normalization stats."""
+    n = len(features)
+    assert n == len(texts) == len(speakers)
+    frame_size = features[0].shape[1]
+    train_idx = list(splits.get("train", range(n)))
+
+    acc = np.zeros(frame_size, np.float64)
+    acc2 = np.zeros(frame_size, np.float64)
+    count = 0
+    for i in train_idx:
+        f = features[i].astype(np.float64)
+        acc += f.sum(0)
+        acc2 += (f * f).sum(0)
+        count += f.shape[0]
+    mean = acc / max(count, 1)
+    var = np.maximum(acc2 / max(count, 1) - mean * mean, 1e-8)
+
+    with h5py.File(path, "w") as f:
+        vf = h5py.special_dtype(vlen=np.dtype("float32"))
+        vi = h5py.special_dtype(vlen=np.dtype("int32"))
+        dfeat = f.create_dataset("features", (n,), dtype=vf)
+        dtext = f.create_dataset("text", (n,), dtype=vi)
+        for i in range(n):
+            dfeat[i] = features[i].astype(np.float32).ravel()
+            dtext[i] = texts[i].astype(np.int32)
+        f.create_dataset("speaker", data=np.asarray(speakers, np.int32))
+        f.create_dataset("frame_lengths",
+                         data=np.asarray([x.shape[0] for x in features], np.int64))
+        f.create_dataset("text_lengths",
+                         data=np.asarray([len(t) for t in texts], np.int64))
+        g = f.create_group("splits")
+        for name, idx in splits.items():
+            g.create_dataset(name, data=np.asarray(list(idx), np.int64))
+        f.attrs["frame_size"] = frame_size
+        f.attrs["num_speakers"] = (num_speakers if num_speakers is not None
+                                   else int(max(speakers)) + 1)
+        f.attrs["vocab_size"] = vocab_size
+        f.attrs["features_mean"] = mean.astype(np.float32)
+        f.attrs["features_std"] = np.sqrt(var).astype(np.float32)
+        if charset is not None:
+            f.attrs["charset"] = json.dumps(charset)

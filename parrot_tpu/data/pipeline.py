@@ -1,0 +1,107 @@
+"""Streaming pipeline: shuffle → sort-pool bucketing → pad+mask → TBPTT segments.
+
+Rebuilds the reference's Fuel stream assembly (reference datasets.py
+`parrot_stream` — mount empty, per SURVEY.md §2.1): ShuffledScheme,
+sort-by-length pools to limit padding, Padding with masks, and the
+fixed-length segmenting that implements truncated BPTT with RNN state
+carried across the segments of an utterance batch (BASELINE.json:5
+"teacher-forced truncated-BPTT").
+
+Static shapes for XLA: every batch has features (B, seq_size, D) and
+text (B, max_text_len); the number of segments per utterance-batch
+varies, but each segment is the same shape, so the train step compiles
+exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from parrot_tpu.config import DataConfig
+from parrot_tpu.data.hdf5_dataset import H5Corpus
+
+
+class Batch(NamedTuple):
+    """One TBPTT segment. All arrays are host numpy; raw (unnormalized)."""
+
+    features: np.ndarray       # (B, S, D) target frames of this segment
+    features_mask: np.ndarray  # (B, S) 1.0 where valid
+    prev_frame: np.ndarray     # (B, D) last frame before segment (0 at start)
+    text: np.ndarray           # (B, U) int32 ids, 0-padded
+    text_mask: np.ndarray      # (B, U)
+    speaker: np.ndarray        # (B,) int32
+    start_flag: np.ndarray     # () float32: 1.0 = first segment (reset state)
+
+
+def _chunks(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]
+
+
+def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
+                   cfg: DataConfig) -> Iterator[Batch]:
+    B = cfg.batch_size
+    S = cfg.seq_size
+    D = corpus.frame_size
+    U = cfg.max_text_len
+    n = len(idx)
+
+    t_max = int(max(corpus.frame_lengths[i] for i in idx))
+    n_seg = max(1, -(-t_max // S))
+    padded = np.zeros((B, n_seg * S, D), np.float32)
+    fmask = np.zeros((B, n_seg * S), np.float32)
+    text = np.zeros((B, U), np.int32)
+    tmask = np.zeros((B, U), np.float32)
+    speaker = np.zeros((B,), np.int32)
+
+    for row, i in enumerate(idx):
+        f = corpus.features(i)
+        t = corpus.text(i)[:U]
+        padded[row, :f.shape[0]] = f
+        fmask[row, :f.shape[0]] = 1.0
+        text[row, :len(t)] = t
+        tmask[row, :len(t)] = 1.0
+        speaker[row] = corpus.speaker(i)
+    del n  # rows beyond len(idx) stay zero (mask 0) for short final batches
+
+    for s in range(n_seg):
+        lo, hi = s * S, (s + 1) * S
+        prev = (padded[:, lo - 1] if s > 0
+                else np.zeros((B, D), np.float32))
+        yield Batch(
+            features=padded[:, lo:hi],
+            features_mask=fmask[:, lo:hi],
+            prev_frame=prev.copy(),
+            text=text,
+            text_mask=tmask,
+            speaker=speaker,
+            start_flag=np.float32(1.0 if s == 0 else 0.0),
+        )
+
+
+def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
+                  training: bool = True,
+                  epochs: Optional[int] = None) -> Iterator[Batch]:
+    """Yield TBPTT segment batches.
+
+    training=True: shuffle each epoch, sort within pools of
+    batch_size*sort_pool_size utterances by frame length (bucketing),
+    drop the final short batch. training=False: deterministic order,
+    final short batch zero-padded (mask excludes pad rows).
+    """
+    idx = corpus.split(split)
+    rng = np.random.default_rng(cfg.shuffle_seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(idx) if training else np.asarray(idx)
+        pool_size = cfg.batch_size * max(1, cfg.sort_pool_size)
+        for pool in _chunks(order, pool_size):
+            if training:
+                pool = sorted(pool, key=lambda i: corpus.frame_lengths[i])
+            for b in _chunks(list(pool), cfg.batch_size):
+                if training and len(b) < cfg.batch_size:
+                    continue
+                yield from _segment_batch(corpus, b, cfg)
+        epoch += 1

@@ -1,0 +1,54 @@
+"""Host→device prefetch: background producer + ahead-of-time device_put.
+
+The reference's Fuel pipeline is synchronous in-process Python — a known
+bottleneck (SURVEY.md §3.1). Here a daemon thread stages the next
+`depth` batches onto the device (with an explicit sharding for the DP
+mesh) while the current step runs, so the TPU never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+
+_SENTINEL = object()
+
+
+def device_prefetch(it: Iterator, depth: int = 2,
+                    sharding: Optional[jax.sharding.Sharding] = None) -> Iterator:
+    """Wrap a host-batch iterator with a depth-`depth` device prefetcher.
+
+    Each item (any pytree of numpy arrays) is jax.device_put ahead of
+    time — with `sharding` when given, so batches land already sharded
+    across the DP mesh axis (no gather on first use).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    err: list = []
+
+    def produce():
+        try:
+            for item in it:
+                if sharding is not None:
+                    item = jax.device_put(item, sharding)
+                else:
+                    item = jax.device_put(item)
+                q.put(item)
+        except Exception as e:  # surface producer errors in the consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
