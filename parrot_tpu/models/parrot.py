@@ -1,0 +1,331 @@
+"""The Parrot model: char/phoneme encoder -> Graves window attention ->
+stacked frame-level LSTM decoder -> MSE/GMM emitter.
+
+Functional rebuild of the reference's `Parrot` brick (reference model.py
+`class Parrot`, `compute_cost`, sampling step — mount empty, per
+SURVEY.md §0/§2.1/§3.3). Architecture per Graves 2013 §5 / Char2Wav:
+
+  enc = BiLSTM(embed(text))                                  (B, U, E)
+  per decoder step t (teacher forced x_{t-1}):
+    h1 = LSTM_1([x_{t-1}, w_{t-1}, spk])
+    w_t, kappa_t = GravesWindow(h1, kappa_{t-1}, enc)
+    h_l = LSTM_l([x_{t-1}, w_t, h_{l-1}, spk])   l = 2..L
+    readout_t = tanh(Linear([h_1..h_L, w_t]))
+    emitter: GMM NLL / MSE on x_t
+
+TPU-first structure (not a Theano translation):
+  - the scan body contains ONLY recurrent math; the x/speaker slices of
+    every layer's input projection are hoisted to big pre-scan GEMMs,
+    and the readout + output head run as one (T*B) GEMM after the scan;
+  - the encoder is cached in the TBPTT carry (`DecoderState.enc`) and
+    recomputed only when `start_flag` says a new utterance batch began,
+    so it costs once per utterance, not once per segment;
+  - normalization of raw WORLD frames happens here, on device
+    (BASELINE.json:5 "on-TPU normalization").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tpu.config import ModelConfig
+from parrot_tpu.nn.core import Linear, Embedding, _cast
+from parrot_tpu.nn.recurrent import LSTMCell, bidirectional_lstm
+from parrot_tpu.nn.attention import GravesWindow
+from parrot_tpu.nn.mdn import gmm_nll, gmm_sample, split_gmm_params, mse_cost
+
+
+class DecoderState(NamedTuple):
+    """Carried TBPTT state (one utterance batch)."""
+
+    hs: Any            # tuple of (h, c) per decoder layer, each (B, H)
+    kappa: jnp.ndarray  # (B, K) window positions
+    w: jnp.ndarray      # (B, E) last attention context
+    enc: jnp.ndarray    # (B, U, E) cached encoder states
+    x_last: jnp.ndarray  # (B, D) last NORMALIZED frame (sampler feedback)
+
+
+class Parrot:
+    """Static model structure; all state lives in explicit pytrees."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.E = cfg.encoder_out_dim
+        self.D = cfg.frame_size
+        self.H = cfg.rnn_h_dim
+        self.K = cfg.attention_mixtures
+        self.L = cfg.decoder_layers
+        self.S = cfg.speaker_dim if cfg.use_speaker else 0
+        if cfg.which_cost == "GMM":
+            self.head_dim = 2 * cfg.num_mixtures * self.D + cfg.num_mixtures
+        elif cfg.which_cost == "MSE":
+            self.head_dim = self.D
+        else:
+            raise ValueError(f"unknown which_cost: {cfg.which_cost}")
+
+    # ---- layer input layouts (row slices of each cell's wx) ----
+    # layer 1:   [x (D), w_prev (E), spk (S)]
+    # layer l>1: [x (D), w_t (E), h_{l-1} (H), spk (S)]
+    def _in_dim(self, layer: int) -> int:
+        return self.D + self.E + (0 if layer == 0 else self.H) + self.S
+
+    def init_params(self, key) -> Dict:
+        cfg = self.cfg
+        keys = jax.random.split(key, 8 + self.L)
+        p: Dict[str, Any] = {
+            "embed": Embedding.init(keys[0], cfg.vocab_size, cfg.embed_dim),
+            "enc_fwd": LSTMCell.init(keys[1], cfg.embed_dim, cfg.encoder_dim,
+                                     layer_norm=cfg.layer_norm),
+            "enc_bwd": LSTMCell.init(keys[2], cfg.embed_dim, cfg.encoder_dim,
+                                     layer_norm=cfg.layer_norm),
+            "attn": GravesWindow.init(keys[3], self.H, self.K),
+            "readout": Linear.init(
+                keys[4], self.L * self.H + self.E, cfg.readouts_dim),
+            "head": Linear.init(keys[5], cfg.readouts_dim, self.head_dim),
+            "dec": [LSTMCell.init(keys[8 + l], self._in_dim(l), self.H,
+                                  layer_norm=cfg.layer_norm)
+                    for l in range(self.L)],
+        }
+        if cfg.use_speaker:
+            p["speaker"] = Embedding.init(keys[6], cfg.num_speakers,
+                                          cfg.speaker_dim)
+        return p
+
+    # ------------------------------------------------------------------
+    def encode(self, params, text, text_mask):
+        """text: (B, U) int32 -> (B, U, E)."""
+        dt = self.cfg.compute_dtype
+        emb = Embedding.apply(params["embed"], text)          # (B, U, em)
+        out = bidirectional_lstm(params["enc_fwd"], params["enc_bwd"],
+                                 emb.transpose(1, 0, 2), text_mask.T,
+                                 compute_dtype=dt)            # (U, B, E)
+        return out.transpose(1, 0, 2)
+
+    def init_state(self, batch_size: int, text_len: int) -> DecoderState:
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        return DecoderState(
+            hs=tuple((z(batch_size, self.H), z(batch_size, self.H))
+                     for _ in range(self.L)),
+            kappa=z(batch_size, self.K),
+            w=z(batch_size, self.E),
+            enc=z(batch_size, text_len, self.E),
+            x_last=z(batch_size, self.D),
+        )
+
+    def _speaker_vec(self, params, speaker):
+        if not self.cfg.use_speaker:
+            return None
+        return Embedding.apply(params["speaker"], speaker)     # (B, S)
+
+    # ---- hoisted input projections -----------------------------------
+    def _wx_slices(self, cell, layer: int):
+        """Row blocks of wx for layer `layer`: (x, w, h_below, spk)."""
+        D, E, H, S = self.D, self.E, self.H, self.S
+        wx = cell["wx"]
+        o = 0
+        x_w = wx[o:o + D]; o += D
+        w_w = wx[o:o + E]; o += E
+        hb_w = None
+        if layer > 0:
+            hb_w = wx[o:o + H]; o += H
+        s_w = wx[o:o + S] if S else None
+        return x_w, w_w, hb_w, s_w
+
+    def _hoist(self, params, x_in, spk):
+        """Precompute x- and speaker- gate contributions for all layers.
+
+        x_in: (T, B, D). Returns list per layer of (T, B, 4H) plus the
+        per-layer (w_w, hb_w) matrices needed inside the scan.
+        """
+        dt = self.cfg.compute_dtype
+        hoisted, scan_mats = [], []
+        for l in range(self.L):
+            cell = params["dec"][l]
+            x_w, w_w, hb_w, s_w = self._wx_slices(cell, l)
+            g = jnp.dot(_cast(x_in, dt), _cast(x_w, dt),
+                        preferred_element_type=jnp.float32) + cell["b"]
+            if spk is not None:
+                g = g + jnp.dot(_cast(spk, dt), _cast(s_w, dt),
+                                preferred_element_type=jnp.float32)
+            hoisted.append(g)
+            scan_mats.append((w_w, hb_w))
+        return hoisted, scan_mats
+
+    def _cell_step(self, cell, state, gates_pre):
+        """LSTM step from fully-assembled pre-activation gates."""
+        h, c = state
+        dt = self.cfg.compute_dtype
+        gates = gates_pre + jnp.dot(_cast(h, dt), _cast(cell["wh"], dt),
+                                    preferred_element_type=jnp.float32)
+        if "ln_g" in cell:
+            from parrot_tpu.nn.core import LayerNorm
+            gates = LayerNorm.apply(cell["ln_g"], gates)
+        H = self.H
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c_new = f * c + i * g
+        if "ln_c" in cell:
+            from parrot_tpu.nn.core import LayerNorm
+            h_new = o * jnp.tanh(LayerNorm.apply(cell["ln_c"], c_new))
+        else:
+            h_new = o * jnp.tanh(c_new)
+        return h_new, c_new
+
+    # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    def compute_cost(self, params, norm, batch, state: Optional[DecoderState],
+                     rng=None) -> Tuple[jnp.ndarray, DecoderState, Dict]:
+        """Teacher-forced segment cost.
+
+        norm: dict(mean (D,), std (D,)) — applied on device here.
+        batch: a data.Batch (features (B,S,D) RAW, masks, text, speaker,
+        prev_frame RAW, start_flag scalar). state: carried DecoderState
+        or None (fresh). Returns (scalar loss, new_state, metrics).
+        """
+        cfg = self.cfg
+        B, S, D = batch.features.shape
+        U = batch.text.shape[1]
+        if state is None:
+            state = self.init_state(B, U)
+
+        # reset carried state where a new utterance batch starts
+        start = batch.start_flag
+        state = jax.tree.map(lambda z: (1.0 - start) * z, state)
+
+        # encoder once per utterance batch: recompute on start, else reuse
+        enc_new = self.encode(params, batch.text, batch.text_mask)
+        enc = start * enc_new + (1.0 - start) * state.enc
+        state = state._replace(enc=enc)
+
+        # on-device normalization
+        xn = (batch.features - norm["mean"]) / norm["std"]    # (B, S, D)
+        prev = (batch.prev_frame - norm["mean"]) / norm["std"]
+        prev = (1.0 - start) * prev  # raw zeros at start != normalized zeros
+        x_tgt = xn.transpose(1, 0, 2)                          # (T, B, D)
+        x_in = jnp.concatenate([prev[None], x_tgt[:-1]], axis=0)
+        if cfg.feedback_noise_level > 0 and rng is not None:
+            x_in = x_in + cfg.feedback_noise_level * jax.random.normal(
+                rng, x_in.shape, x_in.dtype)
+        mask = batch.features_mask.T                           # (T, B)
+
+        # speaker folded into hoisted gates
+        spk = self._speaker_vec(params, batch.speaker)
+        raw, new_state, phis = self.scan_decoder(
+            params, state, x_in, mask, batch.text_mask, spk)
+
+        if cfg.which_cost == "GMM":
+            mu, ls, pi = split_gmm_params(raw, D, cfg.num_mixtures,
+                                          cfg.min_log_sigma)
+            cost = gmm_nll(x_tgt, mu, ls, pi)                  # (T, B)
+        else:
+            cost = mse_cost(x_tgt, raw)
+        denom = jnp.maximum(mask.sum(), 1.0)
+        loss = (cost * mask).sum() / denom
+        new_state = new_state._replace(x_last=x_tgt[-1])
+        metrics = {"loss": loss, "frames": mask.sum()}
+        return loss, new_state, metrics
+
+    def scan_decoder(self, params, state: DecoderState, x_in, mask,
+                     text_mask, spk=None):
+        """Run the decoder over a teacher-forced segment.
+
+        x_in: (T, B, D) normalized teacher-forced inputs (frame t-1 at
+        position t); mask: (T, B); spk: (B, S) speaker vectors or None
+        (folded into the hoisted gate projections). Returns
+        (raw head outputs (T, B, head_dim), new_state, phis (T, B, U)).
+        """
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        hoisted, scan_mats = self._hoist(params, x_in, spk)
+        enc = state.enc
+
+        def body(carry, t_in):
+            hs, kappa, w = carry
+            gates_x, m = t_in[:-1], t_in[-1]
+            m = m[:, None]
+            new_hs = []
+            w_w0, _ = scan_mats[0]
+            g0 = gates_x[0] + jnp.dot(_cast(w, dt), _cast(w_w0, dt),
+                                      preferred_element_type=jnp.float32)
+            h1, c1 = self._cell_step(params["dec"][0], hs[0], g0)
+            h1 = m * h1 + (1 - m) * hs[0][0]
+            c1 = m * c1 + (1 - m) * hs[0][1]
+            new_hs.append((h1, c1))
+            w_t, kappa_new, phi = GravesWindow.step(
+                params["attn"], h1, kappa, enc, text_mask,
+                alignment=cfg.attention_alignment, compute_dtype=dt)
+            kappa_new = m * kappa_new + (1 - m) * kappa
+            w_t = m * w_t + (1 - m) * w
+            h_below = h1
+            for l in range(1, self.L):
+                w_wl, hb_wl = scan_mats[l]
+                gl = (gates_x[l]
+                      + jnp.dot(_cast(w_t, dt), _cast(w_wl, dt),
+                                preferred_element_type=jnp.float32)
+                      + jnp.dot(_cast(h_below, dt), _cast(hb_wl, dt),
+                                preferred_element_type=jnp.float32))
+                hl, cl = self._cell_step(params["dec"][l], hs[l], gl)
+                hl = m * hl + (1 - m) * hs[l][0]
+                cl = m * cl + (1 - m) * hs[l][1]
+                new_hs.append((hl, cl))
+                h_below = hl
+            out = (jnp.concatenate([h for h, _ in new_hs] + [w_t], -1), phi)
+            return (tuple(new_hs), kappa_new, w_t), out
+
+        init = (state.hs, state.kappa, state.w)
+        xs = tuple(hoisted) + (mask,)
+        (hs, kappa, w), (feats, phis) = jax.lax.scan(body, init, xs)
+        readouts = jnp.tanh(Linear.apply(params["readout"], feats, dt))
+        raw = Linear.apply(params["head"], readouts, dt)
+        new_state = DecoderState(hs=hs, kappa=kappa, w=w, enc=enc,
+                                 x_last=state.x_last)
+        return raw, new_state, phis
+
+    # ------------------------------------------------------------------
+    def sample_step(self, params, state: DecoderState, text_mask, speaker,
+                    key, bias=0.0):
+        """One autoregressive generation step (normalized domain).
+
+        Uses state.x_last as the fed-back frame. Returns (new_state,
+        x (B, D) normalized sample, phi (B, U), raw head output).
+        """
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        x_prev = state.x_last
+        spk = self._speaker_vec(params, speaker)
+
+        def cat(parts):
+            return jnp.concatenate([p for p in parts if p is not None], -1)
+
+        # layer 1
+        in1 = cat([x_prev, state.w, spk])
+        h1, c1 = LSTMCell.step(params["dec"][0], state.hs[0], x=in1,
+                               compute_dtype=dt)
+        w_t, kappa, phi = GravesWindow.step(
+            params["attn"], h1, state.kappa, state.enc, text_mask,
+            alignment=cfg.attention_alignment, compute_dtype=dt)
+        new_hs = [(h1, c1)]
+        h_below = h1
+        for l in range(1, self.L):
+            inl = cat([x_prev, w_t, h_below, spk])
+            hl, cl = LSTMCell.step(params["dec"][l], state.hs[l], x=inl,
+                                   compute_dtype=dt)
+            new_hs.append((hl, cl))
+            h_below = hl
+        feats = jnp.concatenate([h for h, _ in new_hs] + [w_t], -1)
+        readouts = jnp.tanh(Linear.apply(params["readout"], feats, dt))
+        raw = Linear.apply(params["head"], readouts, dt)
+        if cfg.which_cost == "GMM":
+            mu, ls, pi = split_gmm_params(raw, self.D, cfg.num_mixtures,
+                                          cfg.min_log_sigma)
+            x = gmm_sample(key, mu, ls, pi, bias=bias)
+        else:
+            x = raw
+        new_state = DecoderState(hs=tuple(new_hs), kappa=kappa, w=w_t,
+                                 enc=state.enc, x_last=x)
+        return new_state, x, phi, raw

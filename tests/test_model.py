@@ -1,0 +1,190 @@
+"""Parrot model tests: cost, TBPTT carry exactness, scan/step parity,
+speaker conditioning, gradient health (SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parrot_tpu.config import ModelConfig
+from parrot_tpu.data.pipeline import Batch
+from parrot_tpu.models import Parrot
+
+
+def tiny_cfg(**kw):
+    base = dict(frame_size=7, vocab_size=10, embed_dim=6, encoder_dim=5,
+                rnn_h_dim=12, decoder_layers=3, readouts_dim=9,
+                attention_mixtures=3, num_mixtures=2, which_cost="GMM")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_batch(rng, B=3, S=8, D=7, U=6, start=1.0, vocab=10, prev=None):
+    feats = rng.normal(size=(B, S, D)).astype(np.float32)
+    fmask = np.ones((B, S), np.float32)
+    fmask[1, 5:] = 0  # one short utterance
+    text = rng.integers(1, vocab, size=(B, U)).astype(np.int32)
+    tmask = np.ones((B, U), np.float32)
+    tmask[2, 4:] = 0
+    return Batch(
+        features=jnp.array(feats), features_mask=jnp.array(fmask),
+        prev_frame=jnp.array(prev if prev is not None
+                             else np.zeros((B, D), np.float32)),
+        text=jnp.array(text), text_mask=jnp.array(tmask),
+        speaker=jnp.zeros((B,), jnp.int32),
+        start_flag=jnp.float32(start))
+
+
+def norm_id(D):
+    return {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_cfg()
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_cost_runs_and_is_finite(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    loss, state, metrics = model.compute_cost(params, norm_id(7), batch, None)
+    assert np.isfinite(float(loss))
+    assert state.kappa.shape == (3, 3)
+    assert float(metrics["frames"]) == 3 * 8 - 3
+
+
+def test_tbptt_two_segments_equals_full(model_and_params):
+    """Core TBPTT contract: full-sequence cost == carried two-segment cost
+    (SURVEY.md §7 hard part 4)."""
+    model, params = model_and_params
+    rng = np.random.default_rng(1)
+    B, S, D, U = 3, 8, 7, 6
+    full = make_batch(rng, B=B, S=S, D=D, U=U, start=1.0)
+
+    loss_full, state_full, m_full = model.compute_cost(
+        params, norm_id(D), full, None)
+
+    half = S // 2
+    seg1 = Batch(full.features[:, :half], full.features_mask[:, :half],
+                 full.prev_frame, full.text, full.text_mask, full.speaker,
+                 jnp.float32(1.0))
+    seg2 = Batch(full.features[:, half:], full.features_mask[:, half:],
+                 np.asarray(full.features[:, half - 1]), full.text,
+                 full.text_mask, full.speaker, jnp.float32(0.0))
+    l1, st1, m1 = model.compute_cost(params, norm_id(D), seg1, None)
+    l2, st2, m2 = model.compute_cost(params, norm_id(D), seg2, st1)
+
+    total_seg = float(l1) * float(m1["frames"]) + float(l2) * float(m2["frames"])
+    total_full = float(loss_full) * float(m_full["frames"])
+    np.testing.assert_allclose(total_seg, total_full, rtol=1e-4)
+    np.testing.assert_allclose(np.array(st2.kappa), np.array(state_full.kappa),
+                               rtol=1e-5, atol=1e-6)
+    for (h2, c2), (hf, cf) in zip(st2.hs, state_full.hs):
+        np.testing.assert_allclose(np.array(h2), np.array(hf),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_start_flag_resets_state(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(2)
+    b1 = make_batch(rng, start=1.0)
+    _, dirty, _ = model.compute_cost(params, norm_id(7), b1, None)
+    b2 = make_batch(rng, start=1.0)
+    loss_fresh, st_fresh, _ = model.compute_cost(params, norm_id(7), b2, None)
+    loss_dirty, st_dirty, _ = model.compute_cost(params, norm_id(7), b2, dirty)
+    np.testing.assert_allclose(float(loss_fresh), float(loss_dirty), rtol=1e-5)
+    np.testing.assert_allclose(np.array(st_fresh.kappa),
+                               np.array(st_dirty.kappa), rtol=1e-5)
+
+
+def test_scan_matches_stepwise_sample_step(model_and_params):
+    """Pallas-style parity harness: the training scan and the generation
+    step function must compute identical head outputs when fed the same
+    inputs (teacher-forced)."""
+    model, params = model_and_params
+    cfg = model.cfg
+    rng = np.random.default_rng(3)
+    B, S, D, U = 3, 5, 7, 6
+    batch = make_batch(rng, B=B, S=S, D=D, U=U)
+
+    # scan path (mask all ones for clean comparison)
+    b = batch._replace(features_mask=jnp.ones((B, S)))
+    xn = b.features  # norm is identity
+    x_tgt = xn.transpose(1, 0, 2)
+    x_in = jnp.concatenate([jnp.zeros((1, B, D)), x_tgt[:-1]], 0)
+    state0 = model.init_state(B, U)
+    enc = model.encode(params, b.text, b.text_mask)
+    state0 = state0._replace(enc=enc)
+    raw_scan, st_scan, phis = model.scan_decoder(
+        params, state0, x_in, jnp.ones((S, B)), b.text_mask, None)
+
+    # step path: force x_last to the teacher-forced input each step
+    st = state0
+    for t in range(S):
+        st = st._replace(x_last=x_in[t])
+        st, x, phi, raw = model.sample_step(
+            params, st, b.text_mask, b.speaker, jax.random.PRNGKey(t))
+        np.testing.assert_allclose(np.array(raw), np.array(raw_scan[t]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_speaker_conditioning_changes_output():
+    cfg = tiny_cfg(use_speaker=True, num_speakers=4, speaker_dim=5)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(4)
+    batch = make_batch(rng)
+    l0, _, _ = model.compute_cost(params, norm_id(7), batch, None)
+    batch2 = batch._replace(speaker=jnp.ones((3,), jnp.int32))
+    l1, _, _ = model.compute_cost(params, norm_id(7), batch2, None)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    assert abs(float(l0) - float(l1)) > 1e-6
+
+
+def test_mse_cost_path():
+    cfg = tiny_cfg(which_cost="MSE")
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(5)
+    batch = make_batch(rng)
+    loss, _, _ = model.compute_cost(params, norm_id(7), batch, None)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_grads_finite_and_nonzero(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(6)
+    batch = make_batch(rng)
+
+    def loss_fn(p):
+        l, _, _ = model.compute_cost(p, norm_id(7), batch, None)
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    # every major component gets gradient signal
+    for name in ["embed", "enc_fwd", "attn", "readout", "head"]:
+        sub = jax.tree.leaves(g[name])
+        assert any(float(jnp.abs(x).max()) > 0 for x in sub), name
+
+
+def test_normalization_applied_on_device(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(7)
+    batch = make_batch(rng)
+    # shifting features and mean identically must leave the loss unchanged
+    shift = 5.0
+    norm1 = {"mean": jnp.zeros((7,)), "std": jnp.ones((7,))}
+    norm2 = {"mean": jnp.full((7,), shift), "std": jnp.ones((7,))}
+    batch2 = batch._replace(features=batch.features + shift,
+                            prev_frame=batch.prev_frame + shift)
+    l1, _, _ = model.compute_cost(params, norm1, batch, None)
+    l2, _, _ = model.compute_cost(params, norm2, batch2, None)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
