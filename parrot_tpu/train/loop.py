@@ -1,0 +1,235 @@
+"""Training loop: jitted DP train step, eval, checkpointing, metrics.
+
+Rebuilds the reference's Blocks MainLoop + GradientDescent + extension
+stack (reference train.py — mount empty, per SURVEY.md §3.1): per-segment
+teacher-forced TBPTT steps, TrainingDataMonitoring (train metrics),
+DataStreamMonitoring (valid cost), Checkpoint/TrackTheBest, FinishAfter,
+early stopping, wall-clock timing — rebuilt natively over a jitted,
+donated, mesh-sharded step function.
+
+Parallelism: batches are sharded along the 1-D `data` mesh axis; params
+replicated. XLA inserts the gradient allreduce (psum over ICI on real
+hardware) from the sharded-mean loss — no explicit collectives needed
+(SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parrot_tpu.config import ParrotConfig
+from parrot_tpu.data import H5Corpus, parrot_stream, device_prefetch
+from parrot_tpu.models import Parrot
+from parrot_tpu.parallel import (make_mesh, batch_sharding, replicated,
+                                 state_sharding)
+from parrot_tpu.train.checkpoint import CheckpointManager
+from parrot_tpu.train.optim import adam_init, adam_update
+from parrot_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    def __init__(self, cfg: ParrotConfig, corpus: H5Corpus,
+                 mesh=None, quiet: bool = False):
+        self.cfg = cfg
+        self.corpus = corpus
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.train.num_devices)
+        ndev = self.mesh.devices.size
+        if cfg.data.batch_size % ndev:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} not divisible by "
+                f"{ndev} devices")
+        self.model = Parrot(cfg.model)
+        if cfg.data.normalize:
+            self.norm = {"mean": jnp.asarray(corpus.mean),
+                         "std": jnp.asarray(corpus.std)}
+        else:
+            D = cfg.model.frame_size
+            self.norm = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+
+        key = jax.random.PRNGKey(cfg.train.seed)
+        self.params = self.model.init_params(key)
+        self.opt_state = adam_init(self.params)
+        self.step = 0
+        self.best_valid = float("inf")
+
+        self.ckpt = CheckpointManager(cfg.train.save_dir,
+                                      cfg.train.model_name,
+                                      keep=cfg.train.keep_checkpoints)
+        self.log = MetricsLogger(cfg.train.save_dir, cfg.train.model_name,
+                                 quiet=quiet)
+
+        # shardings
+        self._repl = replicated(self.mesh)
+        st_tpl = self.model.init_state(cfg.data.batch_size,
+                                       cfg.data.max_text_len)
+        self._state_sh = state_sharding(self.mesh, st_tpl)
+        self._repl_tree = lambda t: jax.tree.map(lambda _: self._repl, t)
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model, norm, tcfg = self.model, self.norm, self.cfg.train
+
+        def train_step(params, opt_state, dstate, batch, step):
+            rng = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed + 1), step)
+
+            def loss_fn(p):
+                loss, new_state, metrics = model.compute_cost(
+                    p, norm, batch, dstate, rng=rng)
+                return loss, (new_state, metrics)
+
+            (loss, (new_state, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            params, opt_state, info = adam_update(params, grads, opt_state,
+                                                  tcfg)
+            metrics = dict(metrics, **info)
+            return params, opt_state, new_state, metrics
+
+        return jax.jit(
+            train_step,
+            donate_argnums=(0, 1, 2),
+            out_shardings=(self._repl_tree(self.params),
+                           self._repl_tree(self.opt_state),
+                           self._state_sh, None),
+        )
+
+    def _build_eval_step(self):
+        model, norm = self.model, self.norm
+
+        def eval_step(params, dstate, batch):
+            loss, new_state, metrics = model.compute_cost(
+                params, norm, batch, dstate)
+            return new_state, loss * metrics["frames"], metrics["frames"]
+
+        return jax.jit(eval_step, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def _fresh_state(self):
+        st = self.model.init_state(self.cfg.data.batch_size,
+                                   self.cfg.data.max_text_len)
+        return jax.device_put(st, self._state_sh)
+
+    def resume(self) -> bool:
+        """Pick up the latest checkpoint if one exists."""
+        got = self.ckpt.restore({"params": self.params,
+                                 "opt_state": self.opt_state,
+                                 "norm": self.norm})
+        if got is None:
+            return False
+        self.step, trees, meta = got
+        self.params = jax.device_put(trees["params"])
+        self.opt_state = jax.device_put(trees["opt_state"])
+        self.norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
+        self.best_valid = meta.get("best_valid", float("inf"))
+        # step fns close over norm — rebuild with restored stats
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.log.log("resume", self.step)
+        return True
+
+    # ------------------------------------------------------------------
+    def evaluate(self, max_batches: Optional[int] = None) -> float:
+        stream = parrot_stream(self.corpus, self.cfg.data, "valid",
+                               training=False, epochs=1)
+        dstate = self._fresh_state()
+        tot, frames = 0.0, 0.0
+        for i, batch in enumerate(device_prefetch(
+                iter(stream), depth=self.cfg.data.prefetch,
+                sharding=self._batch_sh(batch_template=None))):
+            if max_batches is not None and i >= max_batches:
+                break
+            dstate, s, f = self._eval_step(self.params, dstate, batch)
+            tot += float(s)
+            frames += float(f)
+        return tot / max(frames, 1.0)
+
+    def _batch_sh(self, batch_template):
+        if not hasattr(self, "_cached_batch_sh"):
+            # build once from a probe batch
+            probe = next(iter(parrot_stream(self.corpus, self.cfg.data,
+                                            "train", epochs=1)))
+            self._cached_batch_sh = batch_sharding(self.mesh, probe)
+        return self._cached_batch_sh
+
+    # ------------------------------------------------------------------
+    def train(self, num_steps: Optional[int] = None) -> Dict:
+        tcfg = self.cfg.train
+        target = num_steps if num_steps is not None else tcfg.num_steps
+        dstate = self._fresh_state()
+        stream = parrot_stream(self.corpus, self.cfg.data, "train",
+                               training=True, epochs=None)
+        it = device_prefetch(iter(stream), depth=self.cfg.data.prefetch,
+                             sharding=self._batch_sh(None))
+        t_last = time.time()
+        frames_acc = 0.0
+        evals_since_best = 0
+        prof_on = False
+
+        for batch in it:
+            if self.step >= target:
+                break
+            if tcfg.profile_steps != (0, 0):
+                if self.step == tcfg.profile_steps[0] and not prof_on:
+                    jax.profiler.start_trace(
+                        f"{tcfg.save_dir}/{tcfg.model_name}/profile")
+                    prof_on = True
+                if self.step == tcfg.profile_steps[1] and prof_on:
+                    jax.profiler.stop_trace()
+                    prof_on = False
+            self.params, self.opt_state, dstate, metrics = self._train_step(
+                self.params, self.opt_state, dstate, batch,
+                jnp.int32(self.step))
+            self.step += 1
+            frames_acc += float(metrics["frames"])
+
+            if self.step % tcfg.log_every == 0:
+                dt = time.time() - t_last
+                self.log.log("train", self.step,
+                             loss=metrics["loss"],
+                             grad_norm=metrics["grad_norm"],
+                             lr=metrics["lr"],
+                             frames_per_sec=frames_acc / max(dt, 1e-9))
+                t_last = time.time()
+                frames_acc = 0.0
+
+            if tcfg.eval_every and self.step % tcfg.eval_every == 0:
+                valid = self.evaluate()
+                is_best = valid < self.best_valid
+                if is_best:
+                    self.best_valid = valid
+                    evals_since_best = 0
+                else:
+                    evals_since_best += 1
+                self.log.log("valid", self.step, valid_loss=valid,
+                             best=self.best_valid)
+                if tcfg.track_best and is_best:
+                    self._save(is_best=True)
+                if (tcfg.early_stop_patience
+                        and evals_since_best >= tcfg.early_stop_patience):
+                    self.log.log("early_stop", self.step)
+                    break
+
+            if tcfg.save_every and self.step % tcfg.save_every == 0:
+                self._save()
+
+        if prof_on:
+            jax.profiler.stop_trace()
+        self._save()
+        return {"step": self.step, "best_valid": self.best_valid}
+
+    def _save(self, is_best: bool = False):
+        self.ckpt.save(self.step,
+                       {"params": self.params, "opt_state": self.opt_state,
+                        "norm": self.norm},
+                       meta={"config": self.cfg.to_json(),
+                             "best_valid": self.best_valid},
+                       is_best=is_best)

@@ -1,0 +1,133 @@
+"""CLI argument parsing for train.py / generate.py.
+
+Mirrors the reference's argparse surface (reference utils.py
+train_parse/generate_parse — mount empty, reconstructed per SURVEY.md §5:
+`--model_name`, `--dataset`, `--use_speaker`, `--which_cost`,
+`--sampling_bias`, ...). Flags override the ParrotConfig defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
+                               SampleConfig, TrainConfig)
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--model_name", type=str, default="baseline")
+    p.add_argument("--dataset", type=str, default="blizzard",
+                   help="corpus name or path to an .h5 corpus file")
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--save_dir", type=str, default="saved_models")
+    p.add_argument("--config", type=str, default=None,
+                   help="path to a ParrotConfig json (flags still override)")
+    # model hyperparameters (reference names)
+    p.add_argument("--which_cost", type=str, choices=["GMM", "MSE"],
+                   default=None)
+    p.add_argument("--rnn_h_dim", type=int, default=None)
+    p.add_argument("--readouts_dim", type=int, default=None)
+    p.add_argument("--encoder_dim", type=int, default=None)
+    p.add_argument("--embed_dim", type=int, default=None)
+    p.add_argument("--decoder_layers", type=int, default=None)
+    p.add_argument("--attention_mixtures", type=int, default=None)
+    p.add_argument("--attention_alignment", type=float, default=None)
+    p.add_argument("--num_mixtures", type=int, default=None)
+    p.add_argument("--use_speaker", action="store_true", default=None)
+    p.add_argument("--num_speakers", type=int, default=None)
+    p.add_argument("--speaker_dim", type=int, default=None)
+    p.add_argument("--layer_norm", action="store_true", default=None)
+    p.add_argument("--feedback_noise_level", type=float, default=None)
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"])
+
+
+def train_parse(argv=None) -> ParrotConfig:
+    p = argparse.ArgumentParser("parrot-tpu train")
+    _add_common(p)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--seq_size", type=int, default=None)
+    p.add_argument("--max_text_len", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("--save_every", type=int, default=None)
+    p.add_argument("--eval_every", type=int, default=None)
+    p.add_argument("--log_every", type=int, default=None)
+    p.add_argument("--early_stop_patience", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+    cfg = _build_config(args, train_keys=[
+        "learning_rate", "grad_clip", "num_steps", "save_every",
+        "eval_every", "log_every", "early_stop_patience", "seed",
+        "num_devices", "model_name", "save_dir"])
+    return cfg, args
+
+
+def generate_parse(argv=None):
+    p = argparse.ArgumentParser("parrot-tpu generate")
+    _add_common(p)
+    p.add_argument("--text", type=str, default=None,
+                   help="text to synthesize (else valid-split utterances)")
+    p.add_argument("--speaker_id", type=int, default=0)
+    p.add_argument("--sampling_bias", type=float, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--samples_name", type=str, default="samples")
+    p.add_argument("--checkpoint", type=str, default="best",
+                   choices=["best", "latest"])
+    p.add_argument("--no_fused_kernel", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+    cfg = _build_config(args, train_keys=["model_name", "save_dir"])
+    sample_over = {}
+    if args.sampling_bias is not None:
+        sample_over["sampling_bias"] = args.sampling_bias
+    if args.max_steps is not None:
+        sample_over["max_steps"] = args.max_steps
+    if args.no_fused_kernel:
+        sample_over["use_fused_kernel"] = False
+    if args.seed is not None:
+        sample_over["seed"] = args.seed
+    if sample_over:
+        cfg = cfg.replace(sample=dataclasses.replace(cfg.sample,
+                                                     **sample_over))
+    return cfg, args
+
+
+def _build_config(args, train_keys) -> ParrotConfig:
+    if args.config and os.path.exists(args.config):
+        cfg = ParrotConfig.from_json(open(args.config).read())
+    else:
+        cfg = ParrotConfig()
+
+    def overrides(section, names):
+        out = {}
+        for n in names:
+            v = getattr(args, n, None)
+            if v is not None:
+                out[n] = v
+        return dataclasses.replace(section, **out) if out else section
+
+    model = overrides(cfg.model, [
+        "which_cost", "rnn_h_dim", "readouts_dim", "encoder_dim",
+        "embed_dim", "decoder_layers", "attention_mixtures",
+        "attention_alignment", "num_mixtures", "use_speaker",
+        "num_speakers", "speaker_dim", "layer_norm",
+        "feedback_noise_level", "compute_dtype"])
+    data = overrides(cfg.data, ["dataset", "data_dir", "batch_size",
+                                "seq_size", "max_text_len"])
+    train = overrides(cfg.train, train_keys)
+    return ParrotConfig(model=model, data=data, train=train,
+                        sample=cfg.sample)
+
+
+def resolve_corpus_path(cfg: ParrotConfig) -> str:
+    d = cfg.data.dataset
+    if d.endswith(".h5") or d.endswith(".hdf5"):
+        return d
+    return os.path.join(cfg.data.data_dir, f"{d}.h5")

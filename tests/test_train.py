@@ -1,0 +1,133 @@
+"""Training-stack tests: optimizer, checkpoint roundtrip, DP grad
+equivalence on the 8-device CPU mesh, end-to-end fixture overfit
+(SURVEY.md §4 "Multi-chip without a pod" / "End-to-end")."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
+                               TrainConfig)
+from parrot_tpu.data import H5Corpus, make_fixture_corpus
+from parrot_tpu.parallel import make_mesh
+from parrot_tpu.train import Trainer, adam_init, adam_update
+from parrot_tpu.train.checkpoint import CheckpointManager
+from parrot_tpu.train.optim import clip_by_global_norm, global_norm
+
+
+def test_adam_matches_reference_formula():
+    cfg = TrainConfig(learning_rate=0.1, grad_clip=1e9)
+    params = {"w": jnp.array([1.0, 2.0])}
+    grads = {"w": jnp.array([0.5, -0.5])}
+    opt = adam_init(params)
+    new, opt, info = adam_update(params, grads, opt, cfg)
+    # first step: mhat = g, vhat = g^2 -> update = lr * sign(g) / (1+eps)
+    np.testing.assert_allclose(np.array(new["w"]),
+                               [1.0 - 0.1 * (0.5 / (0.5 + cfg.adam_eps)),
+                                2.0 + 0.1 * (0.5 / (0.5 + cfg.adam_eps))],
+                               rtol=1e-6)
+    assert int(opt["count"]) == 1
+
+
+def test_clip_by_global_norm():
+    tree = {"a": jnp.array([3.0]), "b": jnp.array([4.0])}
+    clipped, norm = clip_by_global_norm(tree, 1.0)
+    np.testing.assert_allclose(float(norm), 5.0, rtol=1e-6)
+    np.testing.assert_allclose(float(global_norm(clipped)), 1.0, rtol=1e-5)
+    # under the limit: untouched
+    same, _ = clip_by_global_norm(tree, 100.0)
+    np.testing.assert_allclose(np.array(same["a"]), [3.0])
+
+
+def test_checkpoint_roundtrip_and_gc(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), "m", keep=2)
+    params = {"lin": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                      "b": np.zeros(3, np.float32)},
+              "cells": [{"wx": np.ones((2, 2), np.float32)}]}
+    for step in [10, 20, 30]:
+        mgr.save(step, {"params": params}, meta={"note": f"s{step}"},
+                 is_best=(step == 10))
+    got = mgr.restore({"params": jax.tree.map(np.zeros_like, params)})
+    assert got is not None
+    step, trees, meta = got
+    assert step == 30
+    np.testing.assert_array_equal(trees["params"]["lin"]["w"],
+                                  params["lin"]["w"])
+    # best (step 10) survives GC even with keep=2
+    step_b, _, _ = mgr.restore(
+        {"params": jax.tree.map(np.zeros_like, params)}, which="best")
+    assert step_b == 10
+    # shape mismatch rejected
+    bad = {"params": {"lin": {"w": np.zeros((3, 3), np.float32),
+                              "b": np.zeros(3, np.float32)},
+                      "cells": [{"wx": np.ones((2, 2), np.float32)}]}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        mgr.restore(bad)
+
+
+@pytest.fixture(scope="module")
+def fixture_corpus(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("d") / "fix.h5")
+    make_fixture_corpus(path, num_utterances=32, vocab_size=8, frame_size=6,
+                        frames_per_char=3, min_chars=3, max_chars=8, seed=3)
+    return path
+
+
+def small_cfg(path, tmp_path, ndev=1, **train_kw):
+    model = ModelConfig(frame_size=6, vocab_size=8, embed_dim=8,
+                        encoder_dim=8, rnn_h_dim=16, decoder_layers=2,
+                        readouts_dim=16, attention_mixtures=2,
+                        num_mixtures=2, which_cost="GMM")
+    data = DataConfig(dataset=path, batch_size=8, seq_size=12,
+                      max_text_len=10, prefetch=1)
+    tr = dict(model_name="t", save_dir=str(tmp_path), learning_rate=3e-3,
+              num_steps=30, save_every=0, eval_every=0, log_every=1000,
+              num_devices=ndev)
+    tr.update(train_kw)
+    return ParrotConfig(model=model, data=data, train=TrainConfig(**tr))
+
+
+def test_dp_grads_match_single_device(fixture_corpus, tmp_path):
+    """SURVEY.md §4: 8-device DP step must equal the single-device step."""
+    corpus = H5Corpus(fixture_corpus)
+    cfg1 = small_cfg(fixture_corpus, tmp_path / "a", ndev=1)
+    cfg8 = small_cfg(fixture_corpus, tmp_path / "b", ndev=8)
+    t1 = Trainer(cfg1, corpus, quiet=True)
+    t8 = Trainer(cfg8, corpus, quiet=True)
+    # identical init (same seed)
+    r1 = t1.train(num_steps=3)
+    r8 = t8.train(num_steps=3)
+    for k1, k8 in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t8.params)):
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k8),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_overfit_fixture_and_resume(fixture_corpus, tmp_path):
+    """End-to-end: loss drops on the fixture; checkpoint resume restores
+    identical params and continues."""
+    corpus = H5Corpus(fixture_corpus)
+    cfg = small_cfg(fixture_corpus, tmp_path, ndev=1, num_steps=150,
+                    save_every=150, eval_every=75, learning_rate=1e-2)
+    tr = Trainer(cfg, corpus, quiet=True)
+    tr.train(num_steps=150)
+    # read the metrics log
+    import json
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "t", "metrics.jsonl"))]
+    valid = [r for r in recs if r["kind"] == "valid"]
+    assert valid, "no valid evals logged"
+    assert valid[-1]["valid_loss"] < 0.0, \
+        f"GMM NLL should go well below 0 on the fixture: {valid[-1]}"
+
+    # resume: params identical after restore
+    tr2 = Trainer(cfg, corpus, quiet=True)
+    assert tr2.resume()
+    assert tr2.step == 150
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr2.train(num_steps=152)  # two more steps run without error
+    assert tr2.step == 152

@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Training entry point; mirrors the reference train.py semantics
+(BASELINE.json:5 "Public entry points mirror train.py/generate.py").
+
+Examples:
+  python train.py --model_name m1 --dataset path/to/corpus.h5 \
+      --which_cost GMM --num_steps 10000
+  python train.py --model_name m1 --dataset blizzard --resume
+"""
+
+import dataclasses
+import os
+import sys
+
+
+def main(argv=None):
+    from parrot_tpu.utils.cli import train_parse, resolve_corpus_path
+    from parrot_tpu.data import H5Corpus
+    from parrot_tpu.train import Trainer
+
+    cfg, args = train_parse(argv)
+    path = resolve_corpus_path(cfg)
+    if not os.path.exists(path):
+        sys.exit(f"corpus not found: {path} — run scripts/preprocess.py "
+                 f"or scripts/make_fixture.py first")
+    corpus = H5Corpus(path)
+    # corpus dictates io dims unless explicitly configured
+    model = dataclasses.replace(
+        cfg.model, frame_size=corpus.frame_size,
+        vocab_size=corpus.vocab_size,
+        num_speakers=max(corpus.num_speakers, cfg.model.num_speakers))
+    cfg = cfg.replace(model=model)
+
+    trainer = Trainer(cfg, corpus)
+    if args.resume:
+        trainer.resume()
+    result = trainer.train()
+    print(f"done: step={result['step']} best_valid={result['best_valid']:.5g}")
+
+
+if __name__ == "__main__":
+    main()
