@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Generation entry point; mirrors the reference generate.py semantics
+(BASELINE.json:5): load a checkpoint, run batched autoregressive
+sampling with biased GMM sampling and attention-based stopping, then
+WORLD-synthesize waveforms and save plots.
+
+Examples:
+  python generate.py --model_name m1 --dataset corpus.h5 --num_samples 4
+  python generate.py --model_name m1 --dataset corpus.h5 \
+      --text "hello world" --sampling_bias 1.0
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from parrot_tpu.utils.cli import generate_parse, resolve_corpus_path
+    from parrot_tpu.config import ParrotConfig
+    from parrot_tpu.data import H5Corpus
+    from parrot_tpu.models import Parrot
+    from parrot_tpu.sample import Sampler, bucket_by_length
+    from parrot_tpu.train.checkpoint import CheckpointManager
+    from parrot_tpu.utils.plotting import save_attention_plot, save_feature_plot
+    import jax
+    import jax.numpy as jnp
+
+    cfg, args = generate_parse(argv)
+    corpus = H5Corpus(resolve_corpus_path(cfg))
+
+    # restore config saved at train time (ensures matching architecture)
+    ckpt = CheckpointManager(cfg.train.save_dir, cfg.train.model_name)
+    probe = ckpt._resolve(args.checkpoint)
+    if probe is None:
+        sys.exit(f"no checkpoint under {cfg.train.save_dir}/"
+                 f"{cfg.train.model_name}")
+    meta = json.load(open(os.path.join(probe, "meta.json")))
+    if "config" in meta:
+        saved = ParrotConfig.from_json(meta["config"])
+        cfg = cfg.replace(model=saved.model)
+
+    model = Parrot(cfg.model)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    D = cfg.model.frame_size
+    norm0 = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+    step, trees, _ = ckpt.restore(
+        {"params": params0, "norm": norm0}, which=args.checkpoint)
+    params = jax.device_put(trees["params"])
+    norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
+    print(f"loaded checkpoint step={step}")
+
+    # inputs: explicit text (needs corpus charset) or valid-split texts
+    if args.text is not None:
+        charset = corpus_charset(corpus)
+        if charset is None:
+            sys.exit("--text requires a corpus with a charset attribute")
+        ids = [np.asarray([charset.index(c) + 1 for c in args.text.lower()
+                           if c in charset], np.int32)]
+        speakers = [args.speaker_id]
+    else:
+        valid = corpus.split("valid")[:args.num_samples]
+        ids = [corpus.text(int(i)) for i in valid]
+        speakers = [corpus.speaker(int(i)) for i in valid]
+
+    sampler = Sampler(model, params, norm, cfg.sample)
+    out_dir = os.path.join(cfg.train.save_dir, cfg.train.model_name,
+                           args.samples_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    results = [None] * len(ids)
+    for idx, text, mask in bucket_by_length(ids, cfg.sample.batch_size):
+        spk = np.asarray([speakers[i] for i in idx], np.int32)
+        frames, lengths, phis = sampler.generate(text, mask, spk)
+        for r, i in enumerate(idx):
+            results[i] = (np.asarray(frames[r]), int(lengths[r]),
+                          np.asarray(phis[r]), int(mask[r].sum()))
+
+    for i, (frames, length, phi, tlen) in enumerate(results):
+        base = os.path.join(out_dir, f"sample_{i}")
+        np.save(base + "_frames.npy", frames[:length])
+        save_attention_plot(base + "_attention.png", phi, length, tlen)
+        save_feature_plot(base + "_features.png", frames, length)
+        wav_path = try_synthesize(base, frames[:length], corpus)
+        print(f"sample {i}: {length} frames -> {base}_frames.npy"
+              + (f", {wav_path}" if wav_path else ""))
+
+
+def corpus_charset(corpus):
+    attrs = corpus._f.attrs
+    if "charset" in attrs:
+        return json.loads(attrs["charset"])
+    return None
+
+
+def try_synthesize(base, frames, corpus):
+    """WORLD-synthesize to wav when the vocoder module is available."""
+    try:
+        from parrot_tpu.vocoder import decode_frames, synthesize, write_wav
+    except ImportError:
+        return None
+    try:
+        fs = int(corpus._f.attrs.get("sample_rate", 16000))
+        f0, sp, ap = decode_frames(frames, fs=fs)
+        wav = synthesize(f0, sp, ap, fs=fs)
+        path = base + ".wav"
+        write_wav(path, wav, fs)
+        return path
+    except Exception as e:  # vocoder built but synthesis failed: report
+        print(f"  (synthesis failed: {e})")
+        return None
+
+
+if __name__ == "__main__":
+    main()

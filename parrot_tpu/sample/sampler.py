@@ -1,0 +1,125 @@
+"""Batched autoregressive sampler with length bucketing.
+
+Rebuilds the reference's generate.py sampling loop (reference
+generate.py — mount empty, per SURVEY.md §3.2), TPU-first: instead of a
+Python loop calling a compiled step per frame (the reference's
+bottleneck), the whole generation runs on device as one
+`lax.while_loop` writing into a preallocated (max_steps, B, D) buffer,
+with per-example stop flags from the attention window passing the last
+character, and early exit when every sequence is done. Biased GMM
+sampling per BASELINE.json:9; inference batches are length-bucketed
+(BASELINE.json:10) so examples in a batch finish together.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parrot_tpu.config import SampleConfig
+from parrot_tpu.models import Parrot
+from parrot_tpu.nn.attention import GravesWindow
+
+
+class Sampler:
+    def __init__(self, model: Parrot, params, norm, cfg: SampleConfig):
+        self.model = model
+        self.params = params
+        self.norm = norm
+        self.cfg = cfg
+        self._gen = jax.jit(self._generate_impl,
+                            static_argnames=("max_steps",))
+
+    # ------------------------------------------------------------------
+    def _generate_impl(self, params, text, text_mask, speaker, key,
+                       max_steps: int):
+        model, cfg = self.model, self.cfg
+        B, U = text.shape
+        D = model.D
+        text_lengths = text_mask.sum(-1)
+
+        state = model.init_state(B, U)
+        state = state._replace(enc=model.encode(params, text, text_mask))
+
+        frames0 = jnp.zeros((max_steps, B, D), jnp.float32)
+        phis0 = jnp.zeros((max_steps, B, U), jnp.float32)
+        done0 = jnp.zeros((B,), bool)
+        lengths0 = jnp.zeros((B,), jnp.int32)
+
+        def cond(carry):
+            t, _, _, done, _, _, _ = carry
+            return jnp.logical_and(t < max_steps, ~jnp.all(done))
+
+        def body(carry):
+            t, state, k, done, lengths, frames, phis = carry
+            k, sub = jax.random.split(k)
+            new_state, x, phi, _ = model.sample_step(
+                params, state, text_mask, speaker, sub,
+                bias=cfg.sampling_bias)
+            # freeze finished examples
+            keep = done[:, None]
+            x = jnp.where(keep, state.x_last, x)
+            new_state = jax.tree.map(
+                lambda n, o: jnp.where(
+                    done.reshape((B,) + (1,) * (n.ndim - 1)), o, n),
+                new_state, state)
+            frames = frames.at[t].set(x)
+            phis = phis.at[t].set(jnp.where(keep, 0.0, phi))
+            stop = GravesWindow.stop_mass(new_state.kappa, text_lengths)
+            newly_done = jnp.logical_and(~done,
+                                         stop > cfg.stop_threshold)
+            lengths = jnp.where(newly_done, t + 1, lengths)
+            done = jnp.logical_or(done, newly_done)
+            return t + 1, new_state, k, done, lengths, frames, phis
+
+        t, state, _, done, lengths, frames, phis = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), state, key, done0, lengths0,
+                         frames0, phis0))
+        lengths = jnp.where(done, lengths, t)  # hit max_steps
+        # denormalize to raw WORLD-feature domain
+        raw = frames * self.norm["std"] + self.norm["mean"]
+        return raw.transpose(1, 0, 2), lengths, phis.transpose(1, 0, 2)
+
+    # ------------------------------------------------------------------
+    def generate(self, text, text_mask, speaker=None, key=None,
+                 max_steps: Optional[int] = None):
+        """text: (B, U) int32; returns (frames (B, T, D) raw, lengths (B,),
+        phis (B, T, U))."""
+        if key is None:
+            key = jax.random.PRNGKey(self.cfg.seed)
+        if speaker is None:
+            speaker = jnp.zeros((text.shape[0],), jnp.int32)
+        ms = int(max_steps if max_steps is not None else self.cfg.max_steps)
+        return self._gen(self.params, jnp.asarray(text),
+                         jnp.asarray(text_mask, jnp.float32),
+                         jnp.asarray(speaker), key, max_steps=ms)
+
+
+def bucket_by_length(texts: Sequence[np.ndarray],
+                     batch_size: int,
+                     pad_to_multiple: int = 16
+                     ) -> List[Tuple[List[int], np.ndarray, np.ndarray]]:
+    """Group variable-length token sequences into length-bucketed batches.
+
+    Returns a list of (original_indices, text (b, U), text_mask (b, U)).
+    Sorting by length keeps per-batch padding low and lets batches finish
+    generation together (BASELINE.json:10).
+    """
+    order = sorted(range(len(texts)), key=lambda i: len(texts[i]))
+    out = []
+    for lo in range(0, len(order), batch_size):
+        idx = order[lo:lo + batch_size]
+        u_max = max(len(texts[i]) for i in idx)
+        u_pad = -(-u_max // pad_to_multiple) * pad_to_multiple
+        text = np.zeros((len(idx), u_pad), np.int32)
+        mask = np.zeros((len(idx), u_pad), np.float32)
+        for r, i in enumerate(idx):
+            t = np.asarray(texts[i], np.int32)
+            text[r, :len(t)] = t
+            mask[r, :len(t)] = 1.0
+        out.append((idx, text, mask))
+    return out

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Create a synthetic fixture corpus (no real data needed).
+
+  python scripts/make_fixture.py data/fixture.h5 --num_utterances 64
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from parrot_tpu.data import make_fixture_corpus  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("path")
+    p.add_argument("--num_utterances", type=int, default=64)
+    p.add_argument("--vocab_size", type=int, default=12)
+    p.add_argument("--frame_size", type=int, default=15)
+    p.add_argument("--frames_per_char", type=int, default=4)
+    p.add_argument("--num_speakers", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    os.makedirs(os.path.dirname(os.path.abspath(a.path)), exist_ok=True)
+    make_fixture_corpus(a.path, num_utterances=a.num_utterances,
+                        vocab_size=a.vocab_size, frame_size=a.frame_size,
+                        frames_per_char=a.frames_per_char,
+                        num_speakers=a.num_speakers, seed=a.seed)
+    print(f"wrote {a.path}")
+
+
+if __name__ == "__main__":
+    main()
