@@ -11,4 +11,7 @@ inside the jitted step (BASELINE.json:5 "on-TPU normalization").
 from parrot_tpu.data.hdf5_dataset import H5Corpus, write_corpus  # noqa: F401
 from parrot_tpu.data.pipeline import parrot_stream, Batch  # noqa: F401
 from parrot_tpu.data.prefetch import device_prefetch  # noqa: F401
-from parrot_tpu.data.fixture import make_fixture_corpus  # noqa: F401
+from parrot_tpu.data.fixture import (  # noqa: F401
+    make_fixture_corpus,
+    make_audio_fixture_corpus,
+)

@@ -54,3 +54,58 @@ def make_fixture_corpus(
     write_corpus(path, features, texts, speakers, vocab_size=vocab_size,
                  splits=splits, num_speakers=num_speakers)
     return path
+
+
+def make_audio_fixture_corpus(
+    path: str,
+    num_utterances: int = 16,
+    vocab_size: int = 8,
+    min_chars: int = 2,
+    max_chars: int = 6,
+    fs: int = 16000,
+    char_ms: float = 120.0,
+    seed: int = 0,
+) -> str:
+    """End-to-end fixture with REAL vocoder features: each token id is a
+    synthetic 'phoneme' (an f0 + resonant-filter pair); utterance audio is
+    the concatenation of its tokens' vowel segments; features come from
+    actual WORLD analysis. Trains the full text -> frames -> waveform
+    pipeline without any real corpus."""
+    import h5py
+    from scipy.signal import lfilter
+
+    from parrot_tpu.vocoder import analyze, code_frames
+
+    rng = np.random.default_rng(seed)
+    # per-token (f0, resonance) "phoneme inventory"
+    f0s = rng.uniform(100.0, 260.0, size=vocab_size)
+    res = rng.uniform(300.0, 2500.0, size=vocab_size)
+    seg_len = int(fs * char_ms / 1000.0)
+
+    features, texts, speakers = [], [], []
+    for _ in range(num_utterances):
+        u = int(rng.integers(min_chars, max_chars + 1))
+        ids = rng.integers(1, vocab_size, size=u).astype(np.int32)
+        audio = []
+        for k in ids:
+            phase = np.cumsum(np.full(seg_len, f0s[k] / fs))
+            pulses = np.diff(np.floor(phase), prepend=0.0)
+            seg = lfilter([1.0], [1.0, -1.8 * np.cos(2 * np.pi * res[k] / fs),
+                                  0.9], pulses)
+            audio.append(seg)
+        x = np.concatenate(audio)
+        x = x / (np.abs(x).max() + 1e-9)
+        x = x + 0.001 * rng.normal(size=len(x))
+        f0, sp, ap = analyze(x, fs)
+        features.append(code_frames(f0, sp, ap))
+        texts.append(ids)
+        speakers.append(0)
+
+    n_valid = max(2, num_utterances // 8)
+    splits = {"train": list(range(num_utterances - n_valid)),
+              "valid": list(range(num_utterances - n_valid, num_utterances))}
+    write_corpus(path, features, texts, speakers, vocab_size=vocab_size,
+                 splits=splits, num_speakers=1)
+    with h5py.File(path, "a") as f:
+        f.attrs["sample_rate"] = fs
+    return path

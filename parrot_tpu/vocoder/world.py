@@ -1,0 +1,162 @@
+"""ctypes bindings + on-demand build of the C++ WORLD-style vocoder.
+
+The reference calls the external C++ WORLD library through a thin Python
+wrapper (SURVEY.md §2.3 N1). Here the C++ lives in-repo
+(cpp/world.cpp) and is compiled once with g++ at first use (pybind11 is
+not available in this image; the C ABI + ctypes keeps the boundary
+simple and stable).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "cpp", "world.cpp")
+_BUILD = os.path.join(_DIR, "cpp", "build")
+_SO = os.path.join(_BUILD, "libworld.so")
+
+_lib = None
+
+
+def _compile():
+    os.makedirs(_BUILD, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        _compile()
+    lib = ctypes.CDLL(_SO)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.world_dio.argtypes = [dp, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_double, ctypes.c_double,
+                              ctypes.c_double, dp, ctypes.c_int]
+    lib.world_dio.restype = ctypes.c_int
+    lib.world_cheaptrick.argtypes = [dp, ctypes.c_int, ctypes.c_int, dp,
+                                     ctypes.c_int, ctypes.c_double,
+                                     ctypes.c_int, dp]
+    lib.world_cheaptrick.restype = ctypes.c_int
+    lib.world_aperiodicity.argtypes = [dp, ctypes.c_int, ctypes.c_int, dp,
+                                       ctypes.c_int, ctypes.c_double,
+                                       ctypes.c_int, ctypes.c_int, dp]
+    lib.world_aperiodicity.restype = ctypes.c_int
+    lib.world_synthesize.argtypes = [dp, dp, dp, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_double,
+                                     ctypes.c_int, ctypes.c_uint32, dp]
+    lib.world_synthesize.restype = ctypes.c_int
+    lib.world_get_fft_size.argtypes = [ctypes.c_int, ctypes.c_double]
+    lib.world_get_fft_size.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def _as_c(x: np.ndarray):
+    return np.ascontiguousarray(x, np.float64), \
+        np.ascontiguousarray(x, np.float64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double))
+
+
+F0_FLOOR = 71.0
+F0_CEIL = 800.0
+FRAME_PERIOD_MS = 5.0
+N_AP_BANDS = 4
+
+
+def get_fft_size(fs: int, f0_floor: float = F0_FLOOR) -> int:
+    return int(get_lib().world_get_fft_size(fs, f0_floor))
+
+
+def hop_samples(fs: int, frame_period_ms: float = FRAME_PERIOD_MS) -> int:
+    return int(round(fs * frame_period_ms / 1000.0))
+
+
+def analyze(x: np.ndarray, fs: int,
+            frame_period_ms: float = FRAME_PERIOD_MS
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """wav -> (f0 (N,), sp (N, F), ap (N, F)); WORLD-style features."""
+    lib = get_lib()
+    x = np.ascontiguousarray(x, np.float64)
+    T = len(x)
+    hop = hop_samples(fs, frame_period_ms)
+    n = T // hop
+    fft_size = get_fft_size(fs)
+    F = fft_size // 2 + 1
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    f0 = np.zeros(n, np.float64)
+    r = lib.world_dio(x.ctypes.data_as(dp), T, fs, frame_period_ms,
+                      F0_FLOOR, F0_CEIL, f0.ctypes.data_as(dp), n)
+    assert r == 0, "world_dio failed"
+    sp = np.zeros((n, F), np.float64)
+    r = lib.world_cheaptrick(x.ctypes.data_as(dp), T, fs,
+                             f0.ctypes.data_as(dp), n, frame_period_ms,
+                             fft_size, sp.ctypes.data_as(dp))
+    assert r == 0, "world_cheaptrick failed"
+    ap = np.zeros((n, F), np.float64)
+    r = lib.world_aperiodicity(x.ctypes.data_as(dp), T, fs,
+                               f0.ctypes.data_as(dp), n, frame_period_ms,
+                               fft_size, N_AP_BANDS, ap.ctypes.data_as(dp))
+    assert r == 0, "world_aperiodicity failed"
+    return f0, sp, ap
+
+
+def synthesize(f0: np.ndarray, sp: np.ndarray, ap: np.ndarray, fs: int,
+               frame_period_ms: float = FRAME_PERIOD_MS,
+               noise_seed: int = 1) -> np.ndarray:
+    """(f0, sp, ap) -> waveform, C++ path."""
+    lib = get_lib()
+    n, F = sp.shape
+    fft_size = (F - 1) * 2
+    dp = ctypes.POINTER(ctypes.c_double)
+    f0 = np.ascontiguousarray(f0, np.float64)
+    sp = np.ascontiguousarray(sp, np.float64)
+    ap = np.ascontiguousarray(ap, np.float64)
+    hop = hop_samples(fs, frame_period_ms)
+    y = np.zeros(n * hop, np.float64)
+    r = lib.world_synthesize(f0.ctypes.data_as(dp), sp.ctypes.data_as(dp),
+                             ap.ctypes.data_as(dp), n, F, fs,
+                             frame_period_ms, fft_size,
+                             ctypes.c_uint32(noise_seed),
+                             y.ctypes.data_as(dp))
+    assert r == 0, "world_synthesize failed"
+    return y
+
+
+def lcg_noise(T: int, seed: int = 1) -> np.ndarray:
+    """The synthesis noise spec (kept identical to the C++ LCG)."""
+    s = np.uint32(seed)
+    out = np.empty(T, np.float64)
+    a, c = np.uint32(1664525), np.uint32(1013904223)
+    with np.errstate(over="ignore"):
+        for t in range(T):
+            s = np.uint32(s * a + c)
+            out[t] = (float(s) / 4294967296.0 * 2.0 - 1.0)
+    return out * np.sqrt(3.0)
+
+
+def write_wav(path: str, x: np.ndarray, fs: int):
+    """16-bit PCM wav via stdlib (soundfile is not in the image)."""
+    import wave
+
+    x = np.asarray(x, np.float64)
+    peak = np.abs(x).max()
+    if peak > 0.99:
+        x = x / peak * 0.99
+    pcm = (x * 32767.0).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(fs)
+        w.writeframes(pcm.tobytes())

@@ -1,0 +1,142 @@
+"""Vocoder tests: C++ build, F0 accuracy, C++/JAX synthesis parity,
+coding roundtrip, MCD formula, wav io (SURVEY.md §4 "Vocoder")."""
+
+import os
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.signal import lfilter
+
+from parrot_tpu.vocoder import (analyze, synthesize, synthesize_jax,
+                                lcg_noise, write_wav, get_fft_size,
+                                hop_samples, code_frames, decode_frames,
+                                code_sp, decode_sp, mcd)
+
+FS = 16000
+
+
+def synth_vowel(f0=120.0, seconds=0.6, resonance=500.0, seed=0):
+    T = int(FS * seconds)
+    phase = np.cumsum(np.full(T, f0 / FS))
+    pulses = np.diff(np.floor(phase), prepend=0.0)
+    x = lfilter([1.0], [1.0, -1.8 * np.cos(2 * np.pi * resonance / FS), 0.9],
+                pulses)
+    x = x + 0.001 * np.random.default_rng(seed).normal(size=T)
+    return x / np.abs(x).max()
+
+
+@pytest.fixture(scope="module")
+def vowel_analysis():
+    x = synth_vowel()
+    return x, analyze(x, FS)
+
+
+def test_f0_estimation_accuracy(vowel_analysis):
+    _, (f0, sp, ap) = vowel_analysis
+    inner = f0[10:-10]
+    voiced = inner[inner > 0]
+    assert (inner > 0).mean() > 0.9
+    assert abs(np.median(voiced) - 120.0) < 3.0
+
+
+def test_f0_tracks_different_pitch():
+    x = synth_vowel(f0=220.0)
+    f0, _, _ = analyze(x, FS)
+    voiced = f0[10:-10]
+    voiced = voiced[voiced > 0]
+    assert abs(np.median(voiced) - 220.0) < 5.0
+
+
+def test_unvoiced_noise_is_unvoiced():
+    x = np.random.default_rng(1).normal(size=FS // 2)
+    f0, _, ap = analyze(x, FS)
+    assert (f0 == 0).mean() > 0.8
+    assert ap[f0 == 0].mean() > 0.9
+
+
+def test_envelope_peaks_at_resonance(vowel_analysis):
+    _, (f0, sp, ap) = vowel_analysis
+    F = sp.shape[1]
+    freqs = np.arange(F) * FS / ((F - 1) * 2)
+    mean_sp = sp[20:-20].mean(0)
+    peak_hz = freqs[np.argmax(mean_sp)]
+    # true peak of the synthesis filter 1/(1 - 1.8 cos(2pi 500/fs) z^-1 + 0.9 z^-2)
+    w = 2 * np.pi * freqs / FS
+    H = 1.0 / np.abs(1 - 1.8 * np.cos(2 * np.pi * 500 / FS) * np.exp(-1j * w)
+                     + 0.9 * np.exp(-2j * w)) ** 2
+    true_peak = freqs[np.argmax(H)]
+    assert abs(peak_hz - true_peak) < 120.0
+
+
+def test_cpp_jax_synthesis_parity(vowel_analysis):
+    """The north-star fidelity check: both synthesis paths implement one
+    spec and must agree to float32 roundoff."""
+    _, (f0, sp, ap) = vowel_analysis
+    y_cpp = synthesize(f0, sp, ap, FS, noise_seed=7)
+    hop = hop_samples(FS)
+    noise = lcg_noise(len(f0) * hop, seed=7)
+    y_jax = np.asarray(synthesize_jax(
+        jnp.asarray(f0), jnp.asarray(sp), jnp.asarray(ap),
+        jnp.asarray(noise), FS, hop, get_fft_size(FS)))
+    scale = np.abs(y_cpp).max()
+    assert np.abs(y_cpp - y_jax).max() / scale < 1e-4
+
+
+def test_synthesis_roundtrip_preserves_f0(vowel_analysis):
+    _, (f0, sp, ap) = vowel_analysis
+    y = synthesize(f0, sp, ap, FS)
+    f0_2, _, _ = analyze(y, FS)
+    a = f0[10:-10]
+    b = f0_2[10:-10]
+    both = (a > 0) & (b > 0)
+    assert both.mean() > 0.8
+    assert np.median(np.abs(a[both] - b[both])) < 5.0
+
+
+def test_coding_roundtrip(vowel_analysis):
+    _, (f0, sp, ap) = vowel_analysis
+    frames = code_frames(f0, sp, ap)
+    assert frames.shape == (len(f0), 63)
+    f0d, spd, apd = decode_frames(frames, FS)
+    np.testing.assert_allclose(f0d, f0, rtol=1e-4)
+    assert np.abs(apd - ap).max() < 0.01
+    # envelope coding: low reconstruction MCD on smooth envelopes
+    d = mcd(code_sp(sp), code_sp(spd))
+    assert d < 1.0, f"sp coding self-MCD too high: {d}"
+
+
+def test_mcd_formula():
+    c1 = np.zeros((4, 5))
+    c2 = np.zeros((4, 5))
+    c2[:, 1] = 1.0  # unit offset in one coefficient
+    want = 10.0 / np.log(10.0) * np.sqrt(2.0)
+    np.testing.assert_allclose(mcd(c1, c2), want, rtol=1e-9)
+    assert mcd(c1, c1) == 0.0
+    # dtw handles unequal lengths
+    assert mcd(c1, np.vstack([c2, c2[:1]]), use_dtw=True) > 0
+
+
+def test_write_wav(tmp_path, vowel_analysis):
+    x, _ = vowel_analysis
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, FS)
+    with wave.open(p) as w:
+        assert w.getframerate() == FS
+        assert w.getnchannels() == 1
+        assert w.getnframes() == len(x)
+
+
+def test_lcg_noise_matches_spec():
+    n = lcg_noise(4, seed=1)
+    s = np.uint32(1)
+    exp = []
+    with np.errstate(over="ignore"):
+        for _ in range(4):
+            s = np.uint32(s * np.uint32(1664525) + np.uint32(1013904223))
+            exp.append((float(s) / 2**32 * 2 - 1) * np.sqrt(3))
+    np.testing.assert_allclose(n, exp, rtol=1e-12)
+    big = lcg_noise(10000, seed=3)
+    assert abs(big.std() - 1.0) < 0.05
