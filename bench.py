@@ -39,16 +39,18 @@ def main():
                       SampleConfig(max_steps=STEPS, stop_threshold=1.1,
                                    sampling_bias=0.5))
 
-    # warmup + compile
+    # warmup + compile (fused Pallas path: return_phis=False)
     frames, lengths, _ = sampler.generate(text, mask,
-                                          key=jax.random.PRNGKey(0))
+                                          key=jax.random.PRNGKey(0),
+                                          return_phis=False)
     np.asarray(frames)
 
     reps = 3
     t0 = time.time()
     for r in range(reps):
         frames, lengths, _ = sampler.generate(text, mask,
-                                              key=jax.random.PRNGKey(r))
+                                              key=jax.random.PRNGKey(r),
+                                              return_phis=False)
     np.asarray(frames)
     dt = (time.time() - t0) / reps
 

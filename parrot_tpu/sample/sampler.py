@@ -86,17 +86,97 @@ class Sampler:
 
     # ------------------------------------------------------------------
     def generate(self, text, text_mask, speaker=None, key=None,
-                 max_steps: Optional[int] = None):
+                 max_steps: Optional[int] = None, return_phis: bool = True):
         """text: (B, U) int32; returns (frames (B, T, D) raw, lengths (B,),
-        phis (B, T, U))."""
+        phis (B, T, U) or None).
+
+        With `return_phis=False` and `cfg.use_fused_kernel` on a TPU
+        backend, generation runs through the Pallas fused decode kernel
+        (parrot_tpu.ops.fused_decode) — the fast serving path. The plain
+        lax.while_loop path is the reference implementation and the only
+        one that materializes attention weights for plots.
+        """
         if key is None:
             key = jax.random.PRNGKey(self.cfg.seed)
         if speaker is None:
             speaker = jnp.zeros((text.shape[0],), jnp.int32)
         ms = int(max_steps if max_steps is not None else self.cfg.max_steps)
+        use_fused = (self.cfg.use_fused_kernel and not return_phis
+                     and self.model.L == 3
+                     and jax.default_backend() != "cpu")
+        if use_fused:
+            return self._generate_fused(text, text_mask, speaker, key, ms)
         return self._gen(self.params, jnp.asarray(text),
                          jnp.asarray(text_mask, jnp.float32),
                          jnp.asarray(speaker), key, max_steps=ms)
+
+    # ------------------------------------------------------------------
+    def _generate_fused(self, text, text_mask, speaker, key, max_steps):
+        """Pallas fused-kernel generation (fixed step count, host-side
+        stop detection from the kappa trajectory)."""
+        from parrot_tpu.ops.fused_decode import fused_decode, prepare_params
+
+        model, cfg = self.model, self.cfg
+        text = jnp.asarray(text)
+        text_mask = jnp.asarray(text_mask, jnp.float32)
+        speaker = jnp.asarray(speaker)
+        B, U = text.shape
+        CHUNK = 16
+        T = -(-max_steps // CHUNK) * CHUNK
+
+        # one jitted pre-stage: encoder + weight slicing + seed derivation
+        # (eager op-by-op dispatch is pathologically slow over the TPU
+        # tunnel; see .claude/skills/verify/SKILL.md)
+        if not hasattr(self, "_fused_pre"):
+            def pre(params, text, text_mask, speaker, key):
+                enc = model.encode(params, text, text_mask)
+                kp = prepare_params(model, params, speaker,
+                                    speaker.shape[0])
+                seed = jax.random.randint(key, (1,), 0, 2**31 - 1,
+                                          dtype=jnp.int32)
+                st = model.init_state(text.shape[0], text.shape[1])
+                init = (st.hs[0][0], st.hs[0][1], st.hs[1][0], st.hs[1][1],
+                        st.hs[2][0], st.hs[2][1], st.kappa, st.w, st.x_last)
+                return enc, kp, seed, init
+            self._fused_pre = jax.jit(pre)
+        enc, kp, seed, init = self._fused_pre(self.params, text, text_mask,
+                                              speaker, key)
+        frames, kappas = fused_decode(
+            kp, enc, text_mask, init, seed,
+            T=T, D=model.D, E=model.E, H=model.H, K=model.K,
+            M=model.cfg.num_mixtures, head_dim=model.head_dim,
+            alignment=model.cfg.attention_alignment,
+            bias=cfg.sampling_bias, min_log_sigma=model.cfg.min_log_sigma,
+            is_gmm=(model.cfg.which_cost == "GMM"), chunk_steps=CHUNK)
+
+        frames, lengths = self._finalize_fused(frames, kappas, text_mask,
+                                               max_steps)
+        return frames, lengths, None
+
+    def _finalize_fused(self, frames, kappas, text_mask, max_steps):
+        if not hasattr(self, "_fused_post"):
+            norm, thr = self.norm, self.cfg.stop_threshold
+
+            @jax.jit
+            def post(frames, kappas, text_mask):
+                T = frames.shape[0]
+                text_lengths = text_mask.sum(-1)             # (B,)
+                mass = jnp.mean(
+                    (kappas > text_lengths[None, :, None]).astype(
+                        jnp.float32), axis=-1)               # (T, B)
+                done = mass > thr
+                any_done = jnp.any(done, axis=0)
+                first = jnp.argmax(done, axis=0) + 1         # (B,)
+                lengths = jnp.where(any_done, first, T).astype(jnp.int32)
+                t_idx = jnp.arange(T)[:, None]
+                live = (t_idx < lengths[None, :]).astype(
+                    frames.dtype)[:, :, None]
+                raw = (frames * live) * norm["std"] + norm["mean"]
+                return raw.transpose(1, 0, 2), lengths
+
+            self._fused_post = post
+        raw, lengths = self._fused_post(frames, kappas, text_mask)
+        return raw[:, :max_steps], jnp.minimum(lengths, max_steps)
 
 
 def bucket_by_length(texts: Sequence[np.ndarray],

@@ -1,0 +1,124 @@
+"""Pallas fused decode kernel tests (interpret mode on CPU; the real-chip
+run is exercised by bench.py). SURVEY.md §4 "Kernel parity"."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parrot_tpu.config import ModelConfig, SampleConfig
+from parrot_tpu.models import Parrot
+from parrot_tpu.ops.fused_decode import fused_decode, prepare_params
+from parrot_tpu.sample import Sampler
+
+
+def build(which="MSE"):
+    cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
+                      encoder_dim=8, rnn_h_dim=16, decoder_layers=3,
+                      readouts_dim=16, attention_mixtures=2, num_mixtures=2,
+                      which_cost=which)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def setup_inputs(model, params, B=3, U=6):
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
+    mask = jnp.ones((B, U))
+    enc = model.encode(params, text, mask)
+    st = model.init_state(B, U)
+    init = (st.hs[0][0], st.hs[0][1], st.hs[1][0], st.hs[1][1],
+            st.hs[2][0], st.hs[2][1], st.kappa, st.w, st.x_last)
+    return text, mask, enc, st, init
+
+
+def run_fused(model, params, enc, mask, init, T, chunk, is_gmm=False):
+    kp = prepare_params(model, params, jnp.zeros((enc.shape[0],), jnp.int32),
+                        enc.shape[0], weight_dtype=jnp.float32)
+    return fused_decode(kp, enc, mask, init, np.array([0], np.int32),
+                        T=T, D=model.D, E=model.E, H=model.H, K=model.K,
+                        M=model.cfg.num_mixtures, head_dim=model.head_dim,
+                        is_gmm=is_gmm, interpret=True, chunk_steps=chunk)
+
+
+def test_fused_mse_matches_sample_step_exactly():
+    """The north-star parity check: fused kernel == plain-JAX step chain
+    (MSE head is deterministic so the match is bitwise-tight)."""
+    cfg, model, params = build("MSE")
+    text, mask, enc, st, init = setup_inputs(model, params)
+    T = 6
+    s = st._replace(enc=enc)
+    ref = []
+    for t in range(T):
+        s, x, phi, raw = model.sample_step(
+            params, s, mask, jnp.zeros((3,), jnp.int32),
+            jax.random.PRNGKey(t))
+        ref.append(np.asarray(x))
+    ref = np.stack(ref)
+
+    frames, kappas = run_fused(model, params, enc, mask, init, T, chunk=3)
+    np.testing.assert_allclose(np.asarray(frames), ref, rtol=1e-5, atol=1e-6)
+    # kappa trajectory monotone
+    k = np.asarray(kappas)
+    assert (np.diff(k[:, 0, 0]) > 0).all()
+
+
+def test_fused_chunking_invariance():
+    """chunk_steps must not change the result (state carries across both
+    the inner fori_loop and the sequential grid)."""
+    cfg, model, params = build("MSE")
+    text, mask, enc, st, init = setup_inputs(model, params)
+    f2, k2 = run_fused(model, params, enc, mask, init, T=12, chunk=2)
+    f6, k6 = run_fused(model, params, enc, mask, init, T=12, chunk=6)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f6),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k6),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fused_rejects_bad_chunking():
+    cfg, model, params = build("MSE")
+    text, mask, enc, st, init = setup_inputs(model, params)
+    with pytest.raises(AssertionError, match="multiple of"):
+        run_fused(model, params, enc, mask, init, T=5, chunk=3)
+
+
+def test_sampler_fused_falls_back_on_cpu():
+    """On the CPU test platform the fused path must silently fall back to
+    the reference while_loop path and produce identical MSE output."""
+    cfg, model, params = build("MSE")
+    norm = {"mean": jnp.zeros((7,)), "std": jnp.ones((7,))}
+    s = Sampler(model, params, norm,
+                SampleConfig(max_steps=8, use_fused_kernel=True))
+    text = jnp.ones((2, 4), jnp.int32)
+    mask = jnp.ones((2, 4))
+    f1, l1, phis = s.generate(text, mask, key=jax.random.PRNGKey(0),
+                              return_phis=True)
+    f2, l2, none = s.generate(text, mask, key=jax.random.PRNGKey(0),
+                              return_phis=False)
+    assert jax.default_backend() == "cpu"
+    assert none is None or none.shape == phis.shape  # fused returns None
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_prepare_params_speaker_folding():
+    cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
+                      encoder_dim=8, rnn_h_dim=16, decoder_layers=3,
+                      readouts_dim=16, attention_mixtures=2, num_mixtures=2,
+                      use_speaker=True, num_speakers=3, speaker_dim=4)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    spk = jnp.asarray([0, 2], jnp.int32)
+    kp = prepare_params(model, params, spk, 2, weight_dtype=jnp.float32)
+    # bias = b + spk_emb @ wx_s for each layer
+    emb = model._speaker_vec(params, spk)
+    wx = params["dec"][0]["wx"]
+    s_w = wx[-cfg.speaker_dim:]
+    want = params["dec"][0]["b"][None, :] + emb @ s_w
+    np.testing.assert_allclose(np.asarray(kp.bias1), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # different speakers -> different biases
+    assert np.abs(np.asarray(kp.bias1[0] - kp.bias1[1])).max() > 1e-6
