@@ -98,6 +98,9 @@ class TrainConfig:
     seed: int = 1234
     num_devices: int = 0          # 0 = all visible devices (DP mesh size)
     profile_steps: Tuple[int, int] = (0, 0)  # (start, stop) jax.profiler window; (0,0)=off
+    debug_nans: bool = False      # jax_debug_nans: fail fast on NaN (slow)
+    plot_alignments: bool = False  # dump attention-alignment pngs at eval
+    tensorboard: bool = False     # mirror metrics to TensorBoard
 
 
 @dataclasses.dataclass(frozen=True)

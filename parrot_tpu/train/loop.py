@@ -59,11 +59,21 @@ class Trainer:
         self.step = 0
         self.best_valid = float("inf")
 
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.ckpt = CheckpointManager(cfg.train.save_dir,
                                       cfg.train.model_name,
                                       keep=cfg.train.keep_checkpoints)
         self.log = MetricsLogger(cfg.train.save_dir, cfg.train.model_name,
                                  quiet=quiet)
+        self._tb = None
+        if cfg.train.tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(
+                    f"{cfg.train.save_dir}/{cfg.train.model_name}/tb")
+            except Exception:
+                pass  # optional dependency; JSONL remains authoritative
 
         # shardings
         self._repl = replicated(self.mesh)
@@ -193,11 +203,17 @@ class Trainer:
 
             if self.step % tcfg.log_every == 0:
                 dt = time.time() - t_last
+                fps = frames_acc / max(dt, 1e-9)
                 self.log.log("train", self.step,
                              loss=metrics["loss"],
                              grad_norm=metrics["grad_norm"],
                              lr=metrics["lr"],
-                             frames_per_sec=frames_acc / max(dt, 1e-9))
+                             frames_per_sec=fps)
+                if self._tb is not None:
+                    self._tb.add_scalar("train/loss", float(metrics["loss"]),
+                                        self.step)
+                    self._tb.add_scalar("train/frames_per_sec", fps,
+                                        self.step)
                 t_last = time.time()
                 frames_acc = 0.0
 
@@ -211,6 +227,10 @@ class Trainer:
                     evals_since_best += 1
                 self.log.log("valid", self.step, valid_loss=valid,
                              best=self.best_valid)
+                if self._tb is not None:
+                    self._tb.add_scalar("valid/loss", valid, self.step)
+                if tcfg.plot_alignments:
+                    self._dump_alignment()
                 if tcfg.track_best and is_best:
                     self._save(is_best=True)
                 if (tcfg.early_stop_patience
@@ -225,6 +245,40 @@ class Trainer:
             jax.profiler.stop_trace()
         self._save()
         return {"step": self.step, "best_valid": self.best_valid}
+
+    def _dump_alignment(self):
+        """Save an attention-alignment plot from one teacher-forced valid
+        batch (Blocks-era monitoring; SURVEY.md §5 observability)."""
+        import os
+
+        import numpy as np
+
+        from parrot_tpu.utils.plotting import save_attention_plot
+
+        batch = next(iter(parrot_stream(self.corpus, self.cfg.data, "valid",
+                                        training=False, epochs=1)))
+        xn = (jnp.asarray(batch.features) - self.norm["mean"]) \
+            / self.norm["std"]
+        x_tgt = xn.transpose(1, 0, 2)
+        B = x_tgt.shape[1]
+        x_in = jnp.concatenate([jnp.zeros_like(x_tgt[:1]), x_tgt[:-1]], 0)
+        state = self.model.init_state(B, batch.text.shape[1])
+        state = state._replace(enc=self.model.encode(
+            self.params, jnp.asarray(batch.text),
+            jnp.asarray(batch.text_mask)))
+        spk = self.model._speaker_vec(self.params,
+                                      jnp.asarray(batch.speaker))
+        _, _, phis = self.model.scan_decoder(
+            self.params, state, x_in, jnp.asarray(batch.features_mask).T,
+            jnp.asarray(batch.text_mask), spk)
+        out_dir = os.path.join(self.cfg.train.save_dir,
+                               self.cfg.train.model_name, "alignments")
+        os.makedirs(out_dir, exist_ok=True)
+        length = int(np.asarray(batch.features_mask)[0].sum())
+        tlen = int(np.asarray(batch.text_mask)[0].sum())
+        save_attention_plot(
+            os.path.join(out_dir, f"step_{self.step:08d}.png"),
+            np.asarray(phis)[:, 0, :], length, tlen)
 
     def _save(self, is_best: bool = False):
         self.ckpt.save(self.step,

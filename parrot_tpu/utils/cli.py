@@ -59,12 +59,16 @@ def train_parse(argv=None) -> ParrotConfig:
     p.add_argument("--early_stop_patience", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--debug_nans", action="store_true", default=None)
+    p.add_argument("--plot_alignments", action="store_true", default=None)
+    p.add_argument("--tensorboard", action="store_true", default=None)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
     cfg = _build_config(args, train_keys=[
         "learning_rate", "grad_clip", "num_steps", "save_every",
         "eval_every", "log_every", "early_stop_patience", "seed",
-        "num_devices", "model_name", "save_dir"])
+        "num_devices", "model_name", "save_dir", "debug_nans",
+        "plot_alignments", "tensorboard"])
     return cfg, args
 
 

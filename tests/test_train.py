@@ -131,3 +131,36 @@ def test_overfit_fixture_and_resume(fixture_corpus, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     tr2.train(num_steps=152)  # two more steps run without error
     assert tr2.step == 152
+
+
+def test_multispeaker_training_and_alignment_dump(tmp_path):
+    """Config-4 shape (VCTK-style multi-speaker) + alignment dump path."""
+    import json as _json
+    from parrot_tpu.data import make_fixture_corpus as mk
+    path = str(tmp_path / "multi.h5")
+    mk(path, num_utterances=24, vocab_size=8, frame_size=6,
+       frames_per_char=3, num_speakers=3, seed=9)
+    corpus = H5Corpus(path)
+    assert corpus.num_speakers == 3
+    model = ModelConfig(frame_size=6, vocab_size=8, embed_dim=8,
+                        encoder_dim=8, rnn_h_dim=16, decoder_layers=2,
+                        readouts_dim=16, attention_mixtures=2,
+                        num_mixtures=2, use_speaker=True, num_speakers=3,
+                        speaker_dim=4)
+    data = DataConfig(dataset=path, batch_size=8, seq_size=12,
+                      max_text_len=10, prefetch=1)
+    tr = TrainConfig(model_name="ms", save_dir=str(tmp_path),
+                     learning_rate=1e-2, num_steps=60, save_every=0,
+                     eval_every=30, log_every=1000, num_devices=1,
+                     plot_alignments=True)
+    t = Trainer(ParrotConfig(model=model, data=data, train=tr), corpus,
+                quiet=True)
+    t.train()
+    recs = [_json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "ms", "metrics.jsonl"))]
+    tr_losses = [r["loss"] for r in recs if r["kind"] == "train"]
+    # alignment plots dumped at evals
+    out = os.path.join(str(tmp_path), "ms", "alignments")
+    assert os.path.isdir(out) and len(os.listdir(out)) >= 1
+    valid = [r for r in recs if r["kind"] == "valid"]
+    assert valid[-1]["valid_loss"] < 9.0  # started ~5.5*D/6... learning
