@@ -45,14 +45,19 @@ def main():
                                           return_phis=False)
     np.asarray(frames)
 
-    reps = 3
-    t0 = time.time()
-    for r in range(reps):
-        frames, lengths, _ = sampler.generate(text, mask,
-                                              key=jax.random.PRNGKey(r),
-                                              return_phis=False)
-    np.asarray(frames)
-    dt = (time.time() - t0) / reps
+    # several passes, median: timing through the TPU tunnel is noisy and
+    # the final host transfer is amortized over `reps` generations
+    reps, passes = 10, 3
+    times = []
+    for p in range(passes):
+        t0 = time.time()
+        for r in range(reps):
+            frames, lengths, _ = sampler.generate(
+                text, mask, key=jax.random.PRNGKey(p * reps + r),
+                return_phis=False)
+        np.asarray(frames)
+        times.append((time.time() - t0) / reps)
+    dt = sorted(times)[len(times) // 2]
 
     frames_per_sec = B * STEPS / dt
     # WORLD default hop 5 ms -> 200 frames per second of audio

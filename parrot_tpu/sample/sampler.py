@@ -121,7 +121,9 @@ class Sampler:
         text_mask = jnp.asarray(text_mask, jnp.float32)
         speaker = jnp.asarray(speaker)
         B, U = text.shape
-        CHUNK = 16
+        # large chunks amortize per-grid-step pipeline overhead; small
+        # chunks avoid wasted compute when generations are short
+        CHUNK = 64 if max_steps >= 256 else 16
         T = -(-max_steps // CHUNK) * CHUNK
 
         # one jitted pre-stage: encoder + weight slicing + seed derivation
