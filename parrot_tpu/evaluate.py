@@ -1,0 +1,115 @@
+"""Quality evaluation: teacher-forced and free-running MCD + NLL.
+
+The parity contract is MCD vs the reference (BASELINE.json:2,5). Without
+the reference on disk (SURVEY.md §0) the same machinery evaluates a
+trained model against ground-truth corpus features:
+
+  * teacher-forced MCD — per-frame point predictions (argmax-pi mixture
+    mean) vs ground truth, frame-aligned;
+  * free-running MCD — autoregressive generation vs ground truth, DTW
+    aligned (lengths differ);
+  * valid NLL — the training objective on held-out data.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parrot_tpu.config import DataConfig, SampleConfig
+from parrot_tpu.data import H5Corpus, parrot_stream
+from parrot_tpu.models import Parrot
+from parrot_tpu.nn.mdn import split_gmm_params
+from parrot_tpu.sample import Sampler, bucket_by_length
+from parrot_tpu.vocoder.mcd import mcd
+
+
+def teacher_forced_predictions(model: Parrot, params, norm, batch):
+    """Point predictions under teacher forcing: GMM -> argmax-pi mixture
+    mean; MSE -> head output. Returns (B, S, D) RAW-domain frames."""
+    cfg = model.cfg
+    B, S, D = batch.features.shape
+    xn = (jnp.asarray(batch.features) - norm["mean"]) / norm["std"]
+    x_tgt = xn.transpose(1, 0, 2)
+    start = jnp.asarray(batch.start_flag)
+    prev = (jnp.asarray(batch.prev_frame) - norm["mean"]) / norm["std"]
+    prev = (1.0 - start) * prev
+    x_in = jnp.concatenate([prev[None], x_tgt[:-1]], axis=0)
+    state = model.init_state(B, batch.text.shape[1])
+    state = state._replace(enc=model.encode(
+        params, jnp.asarray(batch.text), jnp.asarray(batch.text_mask)))
+    spk = model._speaker_vec(params, jnp.asarray(batch.speaker))
+    raw, _, _ = model.scan_decoder(
+        params, state, x_in, jnp.asarray(batch.features_mask).T,
+        jnp.asarray(batch.text_mask), spk)
+    if cfg.which_cost == "GMM":
+        mu, ls, pi = split_gmm_params(raw, D, cfg.num_mixtures,
+                                      cfg.min_log_sigma)
+        comp = jnp.argmax(pi, axis=-1)                     # (S, B)
+        pred = jnp.take_along_axis(
+            mu, comp[..., None, None], axis=2)[..., 0, :]  # (S, B, D)
+    else:
+        pred = raw
+    return (pred * norm["std"] + norm["mean"]).transpose(1, 0, 2)
+
+
+def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
+               data_cfg: DataConfig, sample_cfg: SampleConfig,
+               num_utterances: int = 8, n_sp: Optional[int] = None,
+               split: str = "valid") -> Dict[str, float]:
+    """Evaluate teacher-forced MCD, free-running (DTW) MCD, and NLL."""
+    n_sp = n_sp if n_sp is not None else max(1, model.D - 6)
+    idx = corpus.split(split)[:num_utterances]
+
+    # --- teacher-forced + NLL over the eval stream
+    tf_pred = jax.jit(lambda b: teacher_forced_predictions(
+        model, params, norm, b))
+    cost = jax.jit(lambda b, st: model.compute_cost(params, norm, b, st))
+    tf_dists, nll_sum, frames_sum = [], 0.0, 0.0
+    state = None
+    cur = {}
+    for batch in parrot_stream(corpus, data_cfg, split, training=False,
+                               epochs=1):
+        pred = np.asarray(tf_pred(batch))
+        loss, state, metrics = cost(batch, state)
+        nll_sum += float(loss) * float(metrics["frames"])
+        frames_sum += float(metrics["frames"])
+        m = np.asarray(batch.features_mask)
+        for b in range(pred.shape[0]):
+            n = int(m[b].sum())
+            if n == 0:
+                continue
+            key = (float(batch.start_flag), b)
+            ref = np.asarray(batch.features[b, :n])
+            d = mcd(ref[:, :n_sp], pred[b, :n][:, :n_sp])
+            tf_dists.append((d, n))
+
+    tf_mcd = (sum(d * n for d, n in tf_dists)
+              / max(sum(n for _, n in tf_dists), 1))
+
+    # --- free-running with DTW alignment
+    sampler = Sampler(model, params, norm, sample_cfg)
+    texts = [corpus.text(int(i)) for i in idx]
+    speakers = [corpus.speaker(int(i)) for i in idx]
+    fr_dists = []
+    for bidx, text, mask in bucket_by_length(texts, sample_cfg.batch_size):
+        spk = np.asarray([speakers[i] for i in bidx], np.int32)
+        frames, lengths, _ = sampler.generate(text, mask, spk)
+        frames = np.asarray(frames)
+        for r, i in enumerate(bidx):
+            L = int(lengths[r])
+            ref = corpus.features(int(idx[i]))
+            if L < 2:
+                continue
+            fr_dists.append(mcd(ref[:, :n_sp], frames[r, :L, :n_sp],
+                                use_dtw=True))
+
+    return {
+        "teacher_forced_mcd": float(tf_mcd),
+        "free_running_mcd": float(np.mean(fr_dists)) if fr_dists else float("nan"),
+        "valid_nll": nll_sum / max(frames_sum, 1.0),
+        "num_utterances": len(idx),
+    }

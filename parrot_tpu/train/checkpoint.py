@@ -41,6 +41,8 @@ def unflatten_like(template, flat: Dict[str, np.ndarray], prefix=""):
     if isinstance(template, (list, tuple)):
         seq = [unflatten_like(v, flat, f"{prefix}{i}/")
                for i, v in enumerate(template)]
+        if hasattr(template, "_fields"):   # NamedTuple (e.g. DecoderState)
+            return type(template)(*seq)
         return type(template)(seq) if isinstance(template, tuple) else seq
     key = prefix[:-1]
     if key not in flat:

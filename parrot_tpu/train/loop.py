@@ -58,6 +58,8 @@ class Trainer:
         self.opt_state = adam_init(self.params)
         self.step = 0
         self.best_valid = float("inf")
+        self._segments_done = 0  # stream position (TBPTT segments emitted)
+        self._dstate = None      # carried decoder state (checkpointed)
 
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
@@ -129,16 +131,34 @@ class Trainer:
         return jax.device_put(st, self._state_sh)
 
     def resume(self) -> bool:
-        """Pick up the latest checkpoint if one exists."""
-        got = self.ckpt.restore({"params": self.params,
-                                 "opt_state": self.opt_state,
-                                 "norm": self.norm})
+        """Pick up the latest checkpoint if one exists. Restores params,
+        optimizer state, normalization stats, the carried TBPTT decoder
+        state, and the data-stream position, so training continues
+        exactly where it stopped."""
+        templates = {"params": self.params, "opt_state": self.opt_state,
+                     "norm": self.norm}
+        st_tpl = self.model.init_state(self.cfg.data.batch_size,
+                                       self.cfg.data.max_text_len)
+        got = self.ckpt.restore(dict(templates, dstate=st_tpl))
+        if got is None:
+            try:
+                got = self.ckpt.restore(templates)  # older ckpt, no dstate
+            except KeyError:
+                got = None
         if got is None:
             return False
         self.step, trees, meta = got
         self.params = jax.device_put(trees["params"])
         self.opt_state = jax.device_put(trees["opt_state"])
         self.norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
+        if "dstate" in trees:
+            from parrot_tpu.models import DecoderState
+            d = trees["dstate"]
+            self._dstate = jax.device_put(
+                DecoderState(hs=tuple((h, c) for h, c in d.hs),
+                             kappa=d.kappa, w=d.w, enc=d.enc,
+                             x_last=d.x_last), self._state_sh)
+        self._segments_done = int(meta.get("segments_done", 0))
         self.best_valid = meta.get("best_valid", float("inf"))
         # step fns close over norm — rebuild with restored stats
         self._train_step = self._build_train_step()
@@ -174,10 +194,17 @@ class Trainer:
     def train(self, num_steps: Optional[int] = None) -> Dict:
         tcfg = self.cfg.train
         target = num_steps if num_steps is not None else tcfg.num_steps
-        dstate = self._fresh_state()
+        if self._dstate is None:
+            self._dstate = self._fresh_state()
+        dstate = self._dstate
         stream = parrot_stream(self.corpus, self.cfg.data, "train",
                                training=True, epochs=None)
-        it = device_prefetch(iter(stream), depth=self.cfg.data.prefetch,
+        raw_it = iter(stream)
+        # replay the deterministic shuffle up to the checkpointed position
+        # (Blocks pickled the whole main loop; we fast-forward instead)
+        for _ in range(self._segments_done):
+            next(raw_it)
+        it = device_prefetch(raw_it, depth=self.cfg.data.prefetch,
                              sharding=self._batch_sh(None))
         t_last = time.time()
         frames_acc = 0.0
@@ -198,7 +225,9 @@ class Trainer:
             self.params, self.opt_state, dstate, metrics = self._train_step(
                 self.params, self.opt_state, dstate, batch,
                 jnp.int32(self.step))
+            self._dstate = dstate
             self.step += 1
+            self._segments_done += 1
             frames_acc += float(metrics["frames"])
 
             if self.step % tcfg.log_every == 0:
@@ -281,9 +310,12 @@ class Trainer:
             np.asarray(phis)[:, 0, :], length, tlen)
 
     def _save(self, is_best: bool = False):
-        self.ckpt.save(self.step,
-                       {"params": self.params, "opt_state": self.opt_state,
-                        "norm": self.norm},
+        trees = {"params": self.params, "opt_state": self.opt_state,
+                 "norm": self.norm}
+        if self._dstate is not None:
+            trees["dstate"] = self._dstate
+        self.ckpt.save(self.step, trees,
                        meta={"config": self.cfg.to_json(),
-                             "best_valid": self.best_valid},
+                             "best_valid": self.best_valid,
+                             "segments_done": self._segments_done},
                        is_best=is_best)

@@ -78,3 +78,28 @@ def test_train_generate_synthesize_wav(audio_corpus, tmp_path):
     ref = c.features(i)
     d = mcd(ref[:, :57], np.asarray(frames[0][:L])[:, :57], use_dtw=True)
     assert np.isfinite(d)
+
+
+def test_mcd_report(audio_corpus, tmp_path):
+    """Evaluation machinery: teacher-forced + free-running MCD + NLL."""
+    from parrot_tpu.config import SampleConfig as SC
+    from parrot_tpu.evaluate import mcd_report, teacher_forced_predictions
+    c = H5Corpus(audio_corpus)
+    model_cfg = ModelConfig(frame_size=63, vocab_size=c.vocab_size,
+                            embed_dim=8, encoder_dim=8, rnn_h_dim=16,
+                            decoder_layers=2, readouts_dim=16,
+                            attention_mixtures=2, num_mixtures=2)
+    model = Parrot(model_cfg)
+    import jax as _jax
+    params = model.init_params(_jax.random.PRNGKey(0))
+    norm = {"mean": np.asarray(c.mean), "std": np.asarray(c.std)}
+    import jax.numpy as _jnp
+    norm = {k: _jnp.asarray(v) for k, v in norm.items()}
+    data_cfg = DataConfig(dataset=audio_corpus, batch_size=4, seq_size=16,
+                          max_text_len=8, prefetch=1)
+    rep = mcd_report(model, params, norm, c, data_cfg,
+                     SC(max_steps=32, batch_size=4), num_utterances=2)
+    assert np.isfinite(rep["teacher_forced_mcd"])
+    assert rep["teacher_forced_mcd"] > 0
+    assert np.isfinite(rep["valid_nll"])
+    assert np.isfinite(rep["free_running_mcd"])

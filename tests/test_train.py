@@ -164,3 +164,26 @@ def test_multispeaker_training_and_alignment_dump(tmp_path):
     assert os.path.isdir(out) and len(os.listdir(out)) >= 1
     valid = [r for r in recs if r["kind"] == "valid"]
     assert valid[-1]["valid_loss"] < 9.0  # started ~5.5*D/6... learning
+
+
+def test_exact_resume_continues_training_bitwise(fixture_corpus, tmp_path):
+    """Checkpointed stream position + TBPTT carry: split training must
+    reproduce straight-through training exactly."""
+    corpus = H5Corpus(fixture_corpus)
+    cfg_a = small_cfg(fixture_corpus, tmp_path / "x", ndev=1, num_steps=6,
+                      save_every=0, eval_every=0)
+    a = Trainer(cfg_a, corpus, quiet=True)
+    a.train(num_steps=6)
+
+    cfg_b = small_cfg(fixture_corpus, tmp_path / "y", ndev=1, num_steps=6,
+                      save_every=0, eval_every=0)
+    b = Trainer(cfg_b, corpus, quiet=True)
+    b.train(num_steps=3)
+    b._save()
+    b2 = Trainer(cfg_b, corpus, quiet=True)
+    assert b2.resume()
+    assert b2.step == 3 and b2._segments_done == 3
+    b2.train(num_steps=6)
+
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b2.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
