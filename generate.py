@@ -74,16 +74,19 @@ def main(argv=None):
     results = [None] * len(ids)
     for idx, text, mask in bucket_by_length(ids, cfg.sample.batch_size):
         spk = np.asarray([speakers[i] for i in idx], np.int32)
-        frames, lengths, phis = sampler.generate(text, mask, spk)
+        frames, lengths, phis = sampler.generate(
+            text, mask, spk, return_phis=not args.no_plots)
         for r, i in enumerate(idx):
+            phi = None if phis is None else np.asarray(phis[r])
             results[i] = (np.asarray(frames[r]), int(lengths[r]),
-                          np.asarray(phis[r]), int(mask[r].sum()))
+                          phi, int(mask[r].sum()))
 
     for i, (frames, length, phi, tlen) in enumerate(results):
         base = os.path.join(out_dir, f"sample_{i}")
         np.save(base + "_frames.npy", frames[:length])
-        save_attention_plot(base + "_attention.png", phi, length, tlen)
-        save_feature_plot(base + "_features.png", frames, length)
+        if phi is not None:
+            save_attention_plot(base + "_attention.png", phi, length, tlen)
+            save_feature_plot(base + "_features.png", frames, length)
         wav_path = try_synthesize(base, frames[:length], corpus)
         print(f"sample {i}: {length} frames -> {base}_frames.npy"
               + (f", {wav_path}" if wav_path else ""))

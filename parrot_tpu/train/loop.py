@@ -222,9 +222,11 @@ class Trainer:
                 if self.step == tcfg.profile_steps[1] and prof_on:
                     jax.profiler.stop_trace()
                     prof_on = False
-            self.params, self.opt_state, dstate, metrics = self._train_step(
-                self.params, self.opt_state, dstate, batch,
-                jnp.int32(self.step))
+            with jax.profiler.StepTraceAnnotation("train",
+                                                   step_num=self.step):
+                self.params, self.opt_state, dstate, metrics = \
+                    self._train_step(self.params, self.opt_state, dstate,
+                                     batch, jnp.int32(self.step))
             self._dstate = dstate
             self.step += 1
             self._segments_done += 1

@@ -85,6 +85,9 @@ def generate_parse(argv=None):
     p.add_argument("--checkpoint", type=str, default="best",
                    choices=["best", "latest"])
     p.add_argument("--no_fused_kernel", action="store_true")
+    p.add_argument("--no_plots", action="store_true",
+                   help="skip attention/feature plots; enables the fused "
+                        "Pallas serving path")
     p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
     cfg = _build_config(args, train_keys=["model_name", "save_dir"])

@@ -18,6 +18,14 @@ def main(argv=None):
     from parrot_tpu.data import H5Corpus
     from parrot_tpu.train import Trainer
 
+    # multi-host pod-slice training (BASELINE.json:11): each host runs this
+    # same script; JAX wires the hosts into one device mesh. Activated by
+    # the standard cluster env (or explicit JAX_COORDINATOR_ADDRESS).
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        import jax
+        jax.distributed.initialize()
+
     cfg, args = train_parse(argv)
     path = resolve_corpus_path(cfg)
     if not os.path.exists(path):
