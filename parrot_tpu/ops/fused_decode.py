@@ -117,7 +117,7 @@ def _uniform(shape):
 
 
 def _make_kernel(*, B, D, E, H, K, M, T, U, C, head_dim, alignment, bias,
-                 min_log_sigma, is_gmm, debug_mode=0):
+                 min_log_sigma, is_gmm, stop_threshold=1.0, debug_mode=0):
     """Returns the kernel body. Shapes are static (closed over)."""
 
     def kernel(seed_ref,
@@ -127,7 +127,7 @@ def _make_kernel(*, B, D, E, H, K, M, T, U, C, head_dim, alignment, bias,
                enc, mask,
                h1_0, c1_0, h2_0, c2_0, h3_0, c3_0, kappa_0, w_0, x_0,
                frames_out, kappa_out,
-               h1, c1, h2, c2, h3, c3, kappa_s, w_s, x_s):
+               h1, c1, h2, c2, h3, c3, kappa_s, w_s, x_s, done_s):
         chunk = pl.program_id(0)
 
         @pl.when(chunk == 0)
@@ -141,6 +141,17 @@ def _make_kernel(*, B, D, E, H, K, M, T, U, C, head_dim, alignment, bias,
             kappa_s[:] = kappa_0[:]
             w_s[:] = w_0[:]
             x_s[:] = x_0[:]
+            done_s[0] = 0
+
+        # early exit: once every row's window has passed its text end,
+        # skip the remaining chunks entirely (outputs zero-filled; the
+        # host computes lengths from the kappa trajectory).
+        all_done = done_s[0] == 1
+
+        @pl.when(all_done)
+        def _skip():
+            frames_out[:] = jnp.zeros_like(frames_out)
+            kappa_out[:] = jnp.zeros_like(kappa_out)
 
         if is_gmm and debug_mode != 2:
             pltpu.prng_seed(seed_ref[0] + chunk)
@@ -248,7 +259,15 @@ def _make_kernel(*, B, D, E, H, K, M, T, U, C, head_dim, alignment, bias,
             kappa_out[pl.ds(c, 1)] = kappa[None]
             return 0
 
-        jax.lax.fori_loop(0, C, step_body, 0, unroll=False)
+        @pl.when(jnp.logical_not(all_done))
+        def _run_chunk():
+            jax.lax.fori_loop(0, C, step_body, 0, unroll=False)
+            if stop_threshold < 1.0:
+                text_len = jnp.sum(mask[:], axis=-1, keepdims=True)  # (B,1)
+                past = (kappa_s[:] > text_len).astype(jnp.float32)
+                frac = jnp.mean(past, axis=-1)                       # (B,)
+                row_done = frac > stop_threshold
+                done_s[0] = jnp.all(row_done).astype(jnp.int32)
 
     return kernel
 
@@ -257,11 +276,11 @@ def _make_kernel(*, B, D, E, H, K, M, T, U, C, head_dim, alignment, bias,
     jax.jit,
     static_argnames=("T", "D", "E", "H", "K", "M", "head_dim", "alignment",
                      "bias", "min_log_sigma", "is_gmm", "interpret",
-                     "debug_mode", "chunk_steps"))
+                     "debug_mode", "chunk_steps", "stop_threshold"))
 def fused_decode(kp: FusedDecodeParams, enc, mask, init_state, seed,
                  *, T, D, E, H, K, M, head_dim, alignment=1.0, bias=0.0,
                  min_log_sigma=-7.0, is_gmm=True, interpret=False,
-                 debug_mode=0, chunk_steps=16):
+                 debug_mode=0, chunk_steps=16, stop_threshold=1.0):
     """Run T fused autoregressive steps.
 
     kp: FusedDecodeParams; enc (B, U, E) f32; mask (B, U) f32;
@@ -274,6 +293,7 @@ def fused_decode(kp: FusedDecodeParams, enc, mask, init_state, seed,
     kernel = _make_kernel(B=B, D=D, E=E, H=H, K=K, M=M, T=T, U=U, C=C,
                           head_dim=head_dim, alignment=alignment, bias=bias,
                           min_log_sigma=min_log_sigma, is_gmm=is_gmm,
+                          stop_threshold=stop_threshold,
                           debug_mode=debug_mode)
 
     vm = lambda: pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
@@ -302,6 +322,7 @@ def fused_decode(kp: FusedDecodeParams, enc, mask, init_state, seed,
             pltpu.VMEM((B, K), jnp.float32),   # kappa
             pltpu.VMEM((B, E), jnp.float32),   # w
             pltpu.VMEM((B, D), jnp.float32),   # x
+            pltpu.SMEM((1,), jnp.int32),        # all-done flag
         ],
     )
 

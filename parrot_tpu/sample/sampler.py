@@ -103,6 +103,7 @@ class Sampler:
         ms = int(max_steps if max_steps is not None else self.cfg.max_steps)
         use_fused = (self.cfg.use_fused_kernel and not return_phis
                      and self.model.L == 3
+                     and not self.model.cfg.layer_norm  # kernel: no LN
                      and jax.default_backend() != "cpu")
         if use_fused:
             return self._generate_fused(text, text_mask, speaker, key, ms)
@@ -149,7 +150,8 @@ class Sampler:
             M=model.cfg.num_mixtures, head_dim=model.head_dim,
             alignment=model.cfg.attention_alignment,
             bias=cfg.sampling_bias, min_log_sigma=model.cfg.min_log_sigma,
-            is_gmm=(model.cfg.which_cost == "GMM"), chunk_steps=CHUNK)
+            is_gmm=(model.cfg.which_cost == "GMM"), chunk_steps=CHUNK,
+            stop_threshold=cfg.stop_threshold)
 
         frames, lengths = self._finalize_fused(frames, kappas, text_mask,
                                                max_steps)
