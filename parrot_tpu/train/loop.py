@@ -194,6 +194,21 @@ class Trainer:
     def train(self, num_steps: Optional[int] = None) -> Dict:
         tcfg = self.cfg.train
         target = num_steps if num_steps is not None else tcfg.num_steps
+        # preemption safety (SURVEY.md §5 "Failure detection"): SIGTERM /
+        # SIGINT flush a checkpoint and exit cleanly; --resume picks it up
+        import signal
+
+        self._interrupted = False
+
+        def _on_signal(sig, frame):
+            self._interrupted = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:
+                pass  # not the main thread (e.g. under a test runner)
         if self._dstate is None:
             self._dstate = self._fresh_state()
         dstate = self._dstate
@@ -213,6 +228,9 @@ class Trainer:
 
         for batch in it:
             if self.step >= target:
+                break
+            if self._interrupted:
+                self.log.log("preempted", self.step)
                 break
             if tcfg.profile_steps != (0, 0):
                 if self.step == tcfg.profile_steps[0] and not prof_on:
@@ -275,7 +293,10 @@ class Trainer:
         if prof_on:
             jax.profiler.stop_trace()
         self._save()
-        return {"step": self.step, "best_valid": self.best_valid}
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+        return {"step": self.step, "best_valid": self.best_valid,
+                "interrupted": self._interrupted}
 
     def _dump_alignment(self):
         """Save an attention-alignment plot from one teacher-forced valid

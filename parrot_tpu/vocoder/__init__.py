@@ -6,6 +6,7 @@ from parrot_tpu.vocoder.world import (  # noqa: F401
     analyze,
     synthesize,
     lcg_noise,
+    pulse_excitation,
     write_wav,
     get_fft_size,
     hop_samples,

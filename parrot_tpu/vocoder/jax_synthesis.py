@@ -26,21 +26,33 @@ def _next_pow2(n: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("fs", "hop", "fft_size"))
-def synthesize_jax(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
-    """f0 (N,), sp (N, F), ap (N, F), noise (N*hop,) -> waveform (N*hop,)."""
+def synthesize_jax(f0, sp, ap, noise, fs: int, hop: int, fft_size: int,
+                   pulses=None):
+    """f0 (N,), sp (N, F), ap (N, F), noise (N*hop,) -> waveform (N*hop,).
+
+    `pulses`: optional precomputed voiced excitation (world.pulse_excitation)
+    for bit-stable pulse timing vs the C++ path; without it the pulse train
+    is built in-graph (float32 phase — a pulse can land one sample off the
+    float64 C++ placement, harmless acoustically).
+    """
     N, F = sp.shape
     T = N * hop
     dtype = sp.dtype
 
-    # --- voiced excitation: global phase accumulator, pulses on floor steps
-    f0_samp = jnp.repeat(f0, hop)                        # (T,)
-    phase = jnp.cumsum(f0_samp / fs)
-    floor = jnp.floor(phase)
-    prev_floor = jnp.concatenate([jnp.zeros((1,), floor.dtype), floor[:-1]])
-    pulse = (floor > prev_floor).astype(dtype)
-    amp = jnp.sqrt(jnp.where(f0_samp > 0, fs / jnp.maximum(f0_samp, 1e-6),
-                             0.0)).astype(dtype)
-    ev = pulse * amp                                     # (T,)
+    if pulses is None:
+        # voiced excitation: global phase accumulator, pulses on floor steps
+        f0_samp = jnp.repeat(f0, hop)                    # (T,)
+        phase = jnp.cumsum(f0_samp / fs)
+        floor = jnp.floor(phase)
+        prev_floor = jnp.concatenate([jnp.zeros((1,), floor.dtype),
+                                      floor[:-1]])
+        pulse = (floor > prev_floor).astype(dtype)
+        amp = jnp.sqrt(jnp.where(f0_samp > 0,
+                                 fs / jnp.maximum(f0_samp, 1e-6),
+                                 0.0)).astype(dtype)
+        ev = pulse * amp                                 # (T,)
+    else:
+        ev = pulses.astype(dtype)
     en = noise.astype(dtype)                             # (T,)
 
     # --- per-frame zero-phase IRs, centered by rolling fft/2

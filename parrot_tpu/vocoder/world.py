@@ -134,6 +134,28 @@ def synthesize(f0: np.ndarray, sp: np.ndarray, ap: np.ndarray, fs: int,
     return y
 
 
+def pulse_excitation(f0: np.ndarray, fs: int,
+                     frame_period_ms: float = FRAME_PERIOD_MS) -> np.ndarray:
+    """Voiced pulse train exactly as world_synthesize builds it (float64
+    sequential phase accumulator). Pass to synthesize_jax for bit-stable
+    pulse timing — a float32 in-graph phase cumsum can place a pulse one
+    sample off, which is a full-amplitude bitwise difference."""
+    hop = hop_samples(fs, frame_period_ms)
+    T = len(f0) * hop
+    ev = np.zeros(T, np.float64)
+    phase = 0.0
+    prev_floor = 0.0
+    for t in range(T):
+        f = f0[t // hop]
+        if f > 0:
+            phase += f / fs
+            fl = np.floor(phase)
+            if fl > prev_floor:
+                ev[t] = np.sqrt(fs / f)
+            prev_floor = fl
+    return ev
+
+
 def lcg_noise(T: int, seed: int = 1) -> np.ndarray:
     """The synthesis noise spec (kept identical to the C++ LCG)."""
     s = np.uint32(seed)

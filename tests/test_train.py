@@ -187,3 +187,26 @@ def test_exact_resume_continues_training_bitwise(fixture_corpus, tmp_path):
 
     for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b2.params)):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_preemption_flag_checkpoints_and_stops(fixture_corpus, tmp_path):
+    """SIGTERM-style preemption: loop exits promptly and flushes a
+    checkpoint that resume() picks up."""
+    corpus = H5Corpus(fixture_corpus)
+    cfg = small_cfg(fixture_corpus, tmp_path, ndev=1, num_steps=1000)
+    t = Trainer(cfg, corpus, quiet=True)
+    t.train(num_steps=2)  # warm start so _interrupted exists post-run
+    t._interrupted = False
+
+    import threading
+
+    def interrupt_soon():
+        import time as _t
+        _t.sleep(0.5)
+        t._interrupted = True
+
+    threading.Thread(target=interrupt_soon, daemon=True).start()
+    res = t.train(num_steps=1000)
+    assert res["interrupted"] and res["step"] < 1000
+    t2 = Trainer(cfg, corpus, quiet=True)
+    assert t2.resume() and t2.step == res["step"]

@@ -11,9 +11,9 @@ import pytest
 from scipy.signal import lfilter
 
 from parrot_tpu.vocoder import (analyze, synthesize, synthesize_jax,
-                                lcg_noise, write_wav, get_fft_size,
-                                hop_samples, code_frames, decode_frames,
-                                code_sp, decode_sp, mcd)
+                                lcg_noise, pulse_excitation, write_wav,
+                                get_fft_size, hop_samples, code_frames,
+                                decode_frames, code_sp, decode_sp, mcd)
 
 FS = 16000
 
@@ -140,3 +140,22 @@ def test_lcg_noise_matches_spec():
     np.testing.assert_allclose(n, exp, rtol=1e-12)
     big = lcg_noise(10000, seed=3)
     assert abs(big.std() - 1.0) < 0.05
+
+
+def test_synthesis_matches_golden_file():
+    """Spec-stability guard: the synthesis algorithm (shared by C++ and
+    JAX) must not drift across rounds. Regenerate tests/golden/* ONLY on
+    a deliberate spec change (and bump both implementations together)."""
+    import os
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "synthesis_golden.npz"))
+    y = synthesize(g["f0"], g["sp"], g["ap"], FS, noise_seed=123)
+    np.testing.assert_allclose(y, g["y"], rtol=1e-10, atol=1e-12)
+    # and the JAX path agrees with the same golden
+    hop = hop_samples(FS)
+    noise = lcg_noise(len(g["f0"]) * hop, seed=123)
+    yj = np.asarray(synthesize_jax(
+        jnp.asarray(g["f0"]), jnp.asarray(g["sp"]), jnp.asarray(g["ap"]),
+        jnp.asarray(noise), FS, hop, (g["sp"].shape[1] - 1) * 2,
+        pulses=jnp.asarray(pulse_excitation(g["f0"], FS))))
+    assert np.abs(yj - g["y"]).max() / np.abs(g["y"]).max() < 1e-4
