@@ -112,6 +112,9 @@ class SampleConfig:
     stop_threshold: float = 0.5   # attention-mass-past-end threshold for stopping
     batch_size: int = 16
     use_fused_kernel: bool = True # Pallas fused decode step when on TPU
+    fused_weight_dtype: str = "bfloat16"  # serving precision for the fused
+                                          # kernel ('float32' disables the
+                                          # bf16 weight quantization)
     seed: int = 0
 
 

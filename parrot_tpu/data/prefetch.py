@@ -28,6 +28,16 @@ def device_prefetch(it: Iterator, depth: int = 2,
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
@@ -36,19 +46,30 @@ def device_prefetch(it: Iterator, depth: int = 2,
                     item = jax.device_put(item, sharding)
                 else:
                     item = jax.device_put(item)
-                q.put(item)
+                if not _put(item):
+                    return  # consumer went away; drop staged work
         except Exception as e:  # surface producer errors in the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
 
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer stopped early (break / GC): unblock and end the
+        # producer so the thread and its staged device batches are freed
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

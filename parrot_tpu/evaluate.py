@@ -27,9 +27,13 @@ from parrot_tpu.sample import Sampler, bucket_by_length
 from parrot_tpu.vocoder.mcd import mcd
 
 
-def teacher_forced_predictions(model: Parrot, params, norm, batch):
+def teacher_forced_predictions(model: Parrot, params, norm, batch,
+                               state=None):
     """Point predictions under teacher forcing: GMM -> argmax-pi mixture
-    mean; MSE -> head output. Returns (B, S, D) RAW-domain frames."""
+    mean; MSE -> head output. Returns ((B, S, D) RAW-domain frames,
+    new_state). `state` is the carried TBPTT DecoderState — REQUIRED for
+    segments after the first, or mid-utterance predictions restart with
+    kappa=0 and attend to the text start."""
     cfg = model.cfg
     B, S, D = batch.features.shape
     xn = (jnp.asarray(batch.features) - norm["mean"]) / norm["std"]
@@ -38,11 +42,13 @@ def teacher_forced_predictions(model: Parrot, params, norm, batch):
     prev = (jnp.asarray(batch.prev_frame) - norm["mean"]) / norm["std"]
     prev = (1.0 - start) * prev
     x_in = jnp.concatenate([prev[None], x_tgt[:-1]], axis=0)
-    state = model.init_state(B, batch.text.shape[1])
+    if state is None:
+        state = model.init_state(B, batch.text.shape[1])
+    state = jax.tree.map(lambda z: (1.0 - start) * z, state)
     state = state._replace(enc=model.encode(
         params, jnp.asarray(batch.text), jnp.asarray(batch.text_mask)))
     spk = model._speaker_vec(params, jnp.asarray(batch.speaker))
-    raw, _, _ = model.scan_decoder(
+    raw, new_state, _ = model.scan_decoder(
         params, state, x_in, jnp.asarray(batch.features_mask).T,
         jnp.asarray(batch.text_mask), spk)
     if cfg.which_cost == "GMM":
@@ -53,7 +59,8 @@ def teacher_forced_predictions(model: Parrot, params, norm, batch):
             mu, comp[..., None, None], axis=2)[..., 0, :]  # (S, B, D)
     else:
         pred = raw
-    return (pred * norm["std"] + norm["mean"]).transpose(1, 0, 2)
+    new_state = new_state._replace(x_last=x_tgt[-1])
+    return (pred * norm["std"] + norm["mean"]).transpose(1, 0, 2), new_state
 
 
 def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
@@ -65,15 +72,17 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
     idx = corpus.split(split)[:num_utterances]
 
     # --- teacher-forced + NLL over the eval stream
-    tf_pred = jax.jit(lambda b: teacher_forced_predictions(
-        model, params, norm, b))
+    tf_pred = jax.jit(lambda b, st: teacher_forced_predictions(
+        model, params, norm, b, st))
     cost = jax.jit(lambda b, st: model.compute_cost(params, norm, b, st))
     tf_dists, nll_sum, frames_sum = [], 0.0, 0.0
     state = None
-    cur = {}
+    B0 = data_cfg.batch_size
+    pred_state = model.init_state(B0, data_cfg.max_text_len)
     for batch in parrot_stream(corpus, data_cfg, split, training=False,
                                epochs=1):
-        pred = np.asarray(tf_pred(batch))
+        pred, pred_state = tf_pred(batch, pred_state)
+        pred = np.asarray(pred)
         loss, state, metrics = cost(batch, state)
         nll_sum += float(loss) * float(metrics["frames"])
         frames_sum += float(metrics["frames"])
@@ -82,7 +91,6 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
             n = int(m[b].sum())
             if n == 0:
                 continue
-            key = (float(batch.start_flag), b)
             ref = np.asarray(batch.features[b, :n])
             d = mcd(ref[:, :n_sp], pred[b, :n][:, :n_sp])
             tf_dists.append((d, n))

@@ -17,9 +17,9 @@ TPU-first structure (not a Theano translation):
   - the scan body contains ONLY recurrent math; the x/speaker slices of
     every layer's input projection are hoisted to big pre-scan GEMMs,
     and the readout + output head run as one (T*B) GEMM after the scan;
-  - the encoder is cached in the TBPTT carry (`DecoderState.enc`) and
-    recomputed only when `start_flag` says a new utterance batch began,
-    so it costs once per utterance, not once per segment;
+  - the encoder is recomputed in-graph every segment (gradients must
+    reach it from every segment); its output also rides in the carry for
+    the sampler's step-by-step use;
   - normalization of raw WORLD frames happens here, on device
     (BASELINE.json:5 "on-TPU normalization").
 """
@@ -197,9 +197,12 @@ class Parrot:
         start = batch.start_flag
         state = jax.tree.map(lambda z: (1.0 - start) * z, state)
 
-        # encoder once per utterance batch: recompute on start, else reuse
-        enc_new = self.encode(params, batch.text, batch.text_mask)
-        enc = start * enc_new + (1.0 - start) * state.enc
+        # encoder recomputed in-graph every segment (as the reference's
+        # per-batch Theano graph does): gradients must flow into the
+        # embedding/encoder from EVERY segment, not just utterance starts.
+        # (A carried-state cache would make enc a constant w.r.t. params
+        # on non-start segments and zero those gradients.)
+        enc = self.encode(params, batch.text, batch.text_mask)
         state = state._replace(enc=enc)
 
         # on-device normalization

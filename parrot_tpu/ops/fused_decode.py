@@ -113,7 +113,10 @@ def _uniform(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     # top 24 bits fit in int32 (Mosaic can't cast uint32->f32 directly)
     top = pltpu.bitcast(bits >> 8, jnp.int32)
-    return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
+    u = top.astype(jnp.float32) * (1.0 / (1 << 24))
+    # clamp strictly inside (0, 1): u == 1.0 would make the Gumbel
+    # -log(-log(u)) infinite and hijack the categorical argmax
+    return jnp.clip(u, 1e-7, 0.999999)
 
 
 def _make_kernel(*, B, D, E, H, K, M, T, U, C, head_dim, alignment, bias,

@@ -131,10 +131,13 @@ class Sampler:
         # (eager op-by-op dispatch is pathologically slow over the TPU
         # tunnel; see .claude/skills/verify/SKILL.md)
         if not hasattr(self, "_fused_pre"):
+            wdt = (jnp.bfloat16 if cfg.fused_weight_dtype == "bfloat16"
+                   else jnp.float32)
+
             def pre(params, text, text_mask, speaker, key):
                 enc = model.encode(params, text, text_mask)
                 kp = prepare_params(model, params, speaker,
-                                    speaker.shape[0])
+                                    speaker.shape[0], weight_dtype=wdt)
                 seed = jax.random.randint(key, (1,), 0, 2**31 - 1,
                                           dtype=jnp.int32)
                 st = model.init_state(text.shape[0], text.shape[1])

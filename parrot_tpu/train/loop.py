@@ -139,12 +139,11 @@ class Trainer:
                      "norm": self.norm}
         st_tpl = self.model.init_state(self.cfg.data.batch_size,
                                        self.cfg.data.max_text_len)
-        got = self.ckpt.restore(dict(templates, dstate=st_tpl))
-        if got is None:
-            try:
-                got = self.ckpt.restore(templates)  # older ckpt, no dstate
-            except KeyError:
-                got = None
+        try:
+            got = self.ckpt.restore(dict(templates, dstate=st_tpl))
+        except KeyError:
+            # checkpoint without a dstate (e.g. written by the importer)
+            got = self.ckpt.restore(templates)
         if got is None:
             return False
         self.step, trees, meta = got
@@ -336,7 +335,13 @@ class Trainer:
         trees = {"params": self.params, "opt_state": self.opt_state,
                  "norm": self.norm}
         if self._dstate is not None:
-            trees["dstate"] = self._dstate
+            dstate = self._dstate
+            if jax.process_count() > 1:
+                # dstate is sharded along the data axis across hosts;
+                # device_get on non-addressable shards would raise
+                from jax.experimental import multihost_utils
+                dstate = multihost_utils.process_allgather(dstate)
+            trees["dstate"] = dstate
         self.ckpt.save(self.step, trees,
                        meta={"config": self.cfg.to_json(),
                              "best_valid": self.best_valid,

@@ -118,3 +118,28 @@ def test_device_prefetch_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="producer died"):
         list(it)
+
+
+def test_device_prefetch_early_stop_releases_producer():
+    """Breaking out of a prefetched loop must terminate the producer
+    thread (code-review regression: it used to block on q.put forever)."""
+    import threading
+    produced = []
+
+    def source():
+        for i in range(1000):
+            produced.append(i)
+            yield {"x": np.full(3, i)}
+
+    before = threading.active_count()
+    it = device_prefetch(source(), depth=2)
+    for k, item in enumerate(it):
+        if k == 3:
+            break
+    it.close()  # explicit close; GC would do the same via GeneratorExit
+    import time
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 1000  # producer stopped early, not exhausted
