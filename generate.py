@@ -58,8 +58,14 @@ def main(argv=None):
         charset = corpus_charset(corpus)
         if charset is None:
             sys.exit("--text requires a corpus with a charset attribute")
-        ids = [np.asarray([charset.index(c) + 1 for c in args.text.lower()
-                           if c in charset], np.int32)]
+        if isinstance(charset, list):  # phoneme inventory
+            toks = [t for t in args.text.split() if t in charset]
+        else:                          # character set
+            toks = [c for c in args.text.lower() if c in charset]
+        ids = [np.asarray([charset.index(t) + 1 for t in toks], np.int32)]
+        if len(ids[0]) == 0:
+            sys.exit("--text contains no tokens present in the corpus "
+                     "charset/phoneme inventory")
         speakers = [args.speaker_id]
     else:
         valid = corpus.split("valid")[:args.num_samples]

@@ -77,10 +77,16 @@ class Parrot:
         keys = jax.random.split(key, 8 + self.L)
         p: Dict[str, Any] = {
             "embed": Embedding.init(keys[0], cfg.vocab_size, cfg.embed_dim),
-            "enc_fwd": LSTMCell.init(keys[1], cfg.embed_dim, cfg.encoder_dim,
-                                     layer_norm=cfg.layer_norm),
-            "enc_bwd": LSTMCell.init(keys[2], cfg.embed_dim, cfg.encoder_dim,
-                                     layer_norm=cfg.layer_norm),
+            "enc_fwd": [LSTMCell.init(
+                jax.random.fold_in(keys[1], l),
+                cfg.embed_dim if l == 0 else 2 * cfg.encoder_dim,
+                cfg.encoder_dim, layer_norm=cfg.layer_norm)
+                for l in range(cfg.encoder_layers)],
+            "enc_bwd": [LSTMCell.init(
+                jax.random.fold_in(keys[2], l),
+                cfg.embed_dim if l == 0 else 2 * cfg.encoder_dim,
+                cfg.encoder_dim, layer_norm=cfg.layer_norm)
+                for l in range(cfg.encoder_layers)],
             "attn": GravesWindow.init(keys[3], self.H, self.K),
             "readout": Linear.init(
                 keys[4], self.L * self.H + self.E, cfg.readouts_dim),
@@ -96,13 +102,15 @@ class Parrot:
 
     # ------------------------------------------------------------------
     def encode(self, params, text, text_mask):
-        """text: (B, U) int32 -> (B, U, E)."""
+        """text: (B, U) int32 -> (B, U, E). Stacked BiLSTM encoder
+        (cfg.encoder_layers levels; each level consumes the previous
+        level's concatenated fwd/bwd states)."""
         dt = self.cfg.compute_dtype
-        emb = Embedding.apply(params["embed"], text)          # (B, U, em)
-        out = bidirectional_lstm(params["enc_fwd"], params["enc_bwd"],
-                                 emb.transpose(1, 0, 2), text_mask.T,
-                                 compute_dtype=dt)            # (U, B, E)
-        return out.transpose(1, 0, 2)
+        x = Embedding.apply(params["embed"], text).transpose(1, 0, 2)
+        mask_t = text_mask.T
+        for pf, pb in zip(params["enc_fwd"], params["enc_bwd"]):
+            x = bidirectional_lstm(pf, pb, x, mask_t, compute_dtype=dt)
+        return x.transpose(1, 0, 2)                           # (B, U, E)
 
     def init_state(self, batch_size: int, text_len: int) -> DecoderState:
         z = lambda *s: jnp.zeros(s, jnp.float32)

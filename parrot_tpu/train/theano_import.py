@@ -98,12 +98,12 @@ def _apply_transforms(arr: np.ndarray, transforms: List[str]) -> np.ndarray:
 # — pin down when a reference checkpoint is available.
 DEFAULT_MAP: List[Tuple[str, str, List[str]]] = [
     (r".*(char|text|lookup).*embed.*\.W$", "embed/table", []),
-    (r".*encoder.*forward.*\.W$", "enc_fwd/wx", []),
-    (r".*encoder.*forward.*W_state$", "enc_fwd/wh", []),
-    (r".*encoder.*forward.*\.b(iases)?$", "enc_fwd/b", []),
-    (r".*encoder.*backward.*\.W$", "enc_bwd/wx", []),
-    (r".*encoder.*backward.*W_state$", "enc_bwd/wh", []),
-    (r".*encoder.*backward.*\.b(iases)?$", "enc_bwd/b", []),
+    (r".*encoder.*forward.*\.W$", "enc_fwd/0/wx", []),
+    (r".*encoder.*forward.*W_state$", "enc_fwd/0/wh", []),
+    (r".*encoder.*forward.*\.b(iases)?$", "enc_fwd/0/b", []),
+    (r".*encoder.*backward.*\.W$", "enc_bwd/0/wx", []),
+    (r".*encoder.*backward.*W_state$", "enc_bwd/0/wh", []),
+    (r".*encoder.*backward.*\.b(iases)?$", "enc_bwd/0/b", []),
     (r".*window.*\.W$", "attn/proj/w", []),
     (r".*window.*\.b$", "attn/proj/b", []),
     (r".*rnn[_]?(0|1)?.*level[_]?0.*W_state$", "dec/0/wh", []),

@@ -8,6 +8,8 @@ with lines `<wav-stem>\t<text>[\t<speaker-id>]`.
 
   python scripts/preprocess.py --wav_dir wavs/ --transcript meta.tsv \
       --out data/blizzard.h5
+  # phoneme inputs: the text column holds space-separated phoneme tokens
+  python scripts/preprocess.py ... --phonemes
 """
 
 import argparse
@@ -57,6 +59,11 @@ def encode_text(s, charset):
                        if c in charset], np.int32)
 
 
+def encode_phonemes(s, inventory):
+    return np.asarray([inventory.index(t) + 1 for t in s.split()
+                       if t in inventory], np.int32)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wav_dir", required=True)
@@ -65,6 +72,8 @@ def main():
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--valid_frac", type=float, default=0.05)
     p.add_argument("--n_sp", type=int, default=57)
+    p.add_argument("--phonemes", action="store_true",
+                   help="text column holds space-separated phoneme tokens")
     a = p.parse_args()
 
     entries = []
@@ -78,6 +87,12 @@ def main():
     if not entries:
         sys.exit("empty transcript")
 
+    if a.phonemes:
+        inventory = sorted({t for _, text, _ in entries
+                            for t in text.split()})
+    else:
+        inventory = DEFAULT_CHARSET
+
     features, texts, speakers = [], [], []
     for i, (stem, text, spk) in enumerate(entries):
         wav_path = os.path.join(a.wav_dir, stem + ".wav")
@@ -85,7 +100,8 @@ def main():
         x = resample(x, fs, a.sample_rate)
         f0, sp, ap = analyze(x, a.sample_rate)
         features.append(code_frames(f0, sp, ap, n_sp=a.n_sp))
-        texts.append(encode_text(text, DEFAULT_CHARSET))
+        texts.append(encode_phonemes(text, inventory) if a.phonemes
+                     else encode_text(text, inventory))
         speakers.append(spk)
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{len(entries)}")
@@ -96,8 +112,9 @@ def main():
               "valid": list(range(n - n_valid, n))}
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
     write_corpus(a.out, features, texts, speakers,
-                 vocab_size=len(DEFAULT_CHARSET) + 1, splits=splits,
-                 num_speakers=max(speakers) + 1, charset=DEFAULT_CHARSET)
+                 vocab_size=len(inventory) + 1, splits=splits,
+                 num_speakers=max(speakers) + 1,
+                 charset=list(inventory) if a.phonemes else inventory)
     import h5py
     with h5py.File(a.out, "a") as f:
         f.attrs["sample_rate"] = a.sample_rate

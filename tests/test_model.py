@@ -188,3 +188,20 @@ def test_normalization_applied_on_device(model_and_params):
     l1, _, _ = model.compute_cost(params, norm1, batch, None)
     l2, _, _ = model.compute_cost(params, norm2, batch2, None)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+
+
+def test_stacked_encoder_layers():
+    cfg = tiny_cfg(encoder_layers=2)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    assert len(params["enc_fwd"]) == 2
+    rng = np.random.default_rng(8)
+    batch = make_batch(rng)
+    loss, state, _ = model.compute_cost(params, norm_id(7), batch, None)
+    assert np.isfinite(float(loss))
+    # gradient reaches both encoder levels
+    g = jax.grad(lambda p: model.compute_cost(p, norm_id(7), batch, None)[0])(
+        params)
+    for l in range(2):
+        assert max(float(jnp.abs(x).max())
+                   for x in jax.tree.leaves(g["enc_fwd"][l])) > 0
