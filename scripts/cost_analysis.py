@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Per-step compiled cost analysis (SURVEY.md §5 "Tracing/profiling":
+per-kernel cost via cost_analysis): FLOPs, bytes accessed, and arithmetic
+intensity of the jitted train step at a given configuration.
+
+  python scripts/cost_analysis.py [--batch_size 32] [--seq_size 50] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seq_size", type=int, default=50)
+    p.add_argument("--max_text_len", type=int, default=128)
+    p.add_argument("--cpu", action="store_true",
+                   help="analyze the CPU lowering (no TPU needed)")
+    a = p.parse_args()
+
+    import jax
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from parrot_tpu.config import ModelConfig, TrainConfig
+    from parrot_tpu.data.pipeline import Batch
+    from parrot_tpu.models import Parrot
+    from parrot_tpu.train.optim import adam_init, adam_update
+
+    cfg = ModelConfig()
+    tcfg = TrainConfig()
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = adam_init(params)
+    B, S, U, D = a.batch_size, a.seq_size, a.max_text_len, cfg.frame_size
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        features=jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32),
+        features_mask=jnp.ones((B, S)),
+        prev_frame=jnp.zeros((B, D)),
+        text=jnp.asarray(rng.integers(1, cfg.vocab_size, (B, U)), jnp.int32),
+        text_mask=jnp.ones((B, U)),
+        speaker=jnp.zeros((B,), jnp.int32),
+        start_flag=jnp.float32(1.0))
+    norm = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+    dstate = model.init_state(B, U)
+
+    def train_step(params, opt_state, dstate, batch):
+        def loss_fn(p):
+            loss, new_state, m = model.compute_cost(p, norm, batch, dstate)
+            return loss, new_state
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params, opt_state, info = adam_update(params, grads, opt_state, tcfg)
+        return params, opt_state, new_state, loss
+
+    compiled = jax.jit(train_step).lower(params, opt_state, dstate,
+                                         batch).compile()
+    cost = compiled.cost_analysis()
+    flops = cost.get("flops", float("nan"))
+    bytes_ = cost.get("bytes accessed", float("nan"))
+    out = {
+        "batch_size": B,
+        "seq_size": S,
+        "flops_per_step": flops,
+        "bytes_accessed_per_step": bytes_,
+        "arithmetic_intensity": flops / bytes_ if bytes_ else None,
+        "flops_per_frame": flops / (B * S),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
