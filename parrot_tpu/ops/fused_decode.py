@@ -119,7 +119,7 @@ def _uniform(shape):
     return jnp.clip(u, 1e-7, 0.999999)
 
 
-def _make_kernel(*, B, D, E, H, K, M, T, U, C, head_dim, alignment, bias,
+def _make_kernel(*, B, D, E, H, K, M, U, C, alignment, bias,
                  min_log_sigma, is_gmm, stop_threshold=1.0, debug_mode=0):
     """Returns the kernel body. Shapes are static (closed over)."""
 
@@ -293,13 +293,13 @@ def fused_decode(kp: FusedDecodeParams, enc, mask, init_state, seed,
     B, U, _ = enc.shape
     C = chunk_steps
     assert T % C == 0, f"T={T} must be a multiple of chunk_steps={C}"
-    kernel = _make_kernel(B=B, D=D, E=E, H=H, K=K, M=M, T=T, U=U, C=C,
-                          head_dim=head_dim, alignment=alignment, bias=bias,
+    kernel = _make_kernel(B=B, D=D, E=E, H=H, K=K, M=M, U=U, C=C,
+                          alignment=alignment, bias=bias,
                           min_log_sigma=min_log_sigma, is_gmm=is_gmm,
                           stop_threshold=stop_threshold,
                           debug_mode=debug_mode)
 
-    vm = lambda: pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     n_weights = 20
     in_specs = [vm() for _ in range(n_weights)]          # weights/biases
     in_specs += [vm(), vm()]                             # enc, mask

@@ -15,7 +15,8 @@
 //   * Synthesis: zero-phase minimum-artifact OLA with pulse-train +
 //     LCG-noise excitation, split by per-bin aperiodicity. The algorithm
 //     is specified exactly so the JAX path (jax_synthesis.py) matches it
-//     float-for-float; keep both in sync.
+//     to float32 roundoff (bitwise for the pulse/noise excitations);
+//     keep both in sync.
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this image).
 
@@ -518,11 +519,9 @@ extern "C" int world_synthesize(const double *f0, const double *sp,
 
   // per-frame OLA
   vector<double> y(T + fft_size, 0.0);  // padded; centered offset below
-  vector<cplx> spec_v(F), spec_n(F), EX(2 * next_pow2(fft_size));
+  vector<cplx> spec_v(F), spec_n(F);
   vector<double> hv, hn;
-  size_t cn = 2 * next_pow2((size_t)fft_size);  // conv FFT size
-  // conv length needed: hop + fft_size; cn >= next_pow2(hop+fft)
-  cn = next_pow2((size_t)(hop + 2 * fft_size));
+  size_t cn = next_pow2((size_t)(hop + 2 * fft_size));  // conv FFT size
   vector<cplx> A(cn), B(cn);
 
   for (int i = 0; i < n_frames; ++i) {

@@ -36,15 +36,25 @@ def decode_sp(coded: np.ndarray, F: int) -> np.ndarray:
     return np.exp(idct(full, type=2, norm="ortho", axis=-1))
 
 
+def _band_ownership(F: int, n_ap: int):
+    """Final per-bin band ownership as world.cpp writes it: band b fills
+    [lo_b, hi_b] inclusive but band b+1 then overwrites the shared bin
+    hi_b, so b effectively owns [lo_b, lo_{b+1} - 1] (last band to F-1)."""
+    bounds = [int(np.floor(b / n_ap * (F - 1))) for b in range(n_ap + 1)]
+    out = []
+    for b in range(n_ap):
+        lo = bounds[b]
+        hi = (F - 1) if b == n_ap - 1 else bounds[b + 1] - 1
+        out.append((lo, hi))
+    return out
+
+
 def code_ap(ap: np.ndarray, n_ap: int = N_AP_DEFAULT) -> np.ndarray:
-    """ap (N, F) -> (N, n_ap) band means (lossless for piecewise-const ap)."""
+    """ap (N, F) -> (N, n_ap) band means (lossless for ap written by
+    world_aperiodicity, whose band ownership _band_ownership mirrors)."""
     N, F = ap.shape
     out = np.zeros((N, n_ap), np.float64)
-    for b in range(n_ap):
-        lo = int(np.floor(b / n_ap * (F - 1)))
-        hi = int(np.floor((b + 1) / n_ap * (F - 1)))
-        if b == n_ap - 1:
-            hi = F - 1
+    for b, (lo, hi) in enumerate(_band_ownership(F, n_ap)):
         out[:, b] = ap[:, lo:hi + 1].mean(axis=1)
     return out
 
@@ -52,11 +62,7 @@ def code_ap(ap: np.ndarray, n_ap: int = N_AP_DEFAULT) -> np.ndarray:
 def decode_ap(coded: np.ndarray, F: int) -> np.ndarray:
     N, n_ap = coded.shape
     out = np.zeros((N, F), np.float64)
-    for b in range(n_ap):
-        lo = int(np.floor(b / n_ap * (F - 1)))
-        hi = int(np.floor((b + 1) / n_ap * (F - 1)))
-        if b == n_ap - 1:
-            hi = F - 1
+    for b, (lo, hi) in enumerate(_band_ownership(F, n_ap)):
         out[:, lo:hi + 1] = coded[:, b:b + 1]
     return np.clip(out, 0.001, 0.999)
 

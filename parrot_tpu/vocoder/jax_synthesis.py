@@ -2,12 +2,14 @@
 waveform synthesis get JAX-jittable reference paths for output-fidelity
 checks").
 
-Implements EXACTLY the synthesis spec in cpp/world.cpp
-`world_synthesize` (see the comment block there) — pulse-train +
-noise excitation split per-bin by aperiodicity, zero-phase IRs, centered
-overlap-add. The deterministic LCG noise is passed in as an array
-(generate with world.lcg_noise) so the function stays pure; everything
-else matches the C++ float-for-float. Change both together.
+Implements the same synthesis spec as cpp/world.cpp `world_synthesize`
+(see the comment block there) — pulse-train + noise excitation split
+per-bin by aperiodicity, zero-phase IRs, centered overlap-add. The
+deterministic LCG noise is passed in as an array (world.lcg_noise) so the
+function stays pure. Precision: this path computes in float32 while the
+C++ uses float64, so outputs agree to f32 roundoff (~1e-7 relative), not
+bitwise; pass `pulses` (world.pulse_excitation) for exact pulse timing.
+Change both implementations together.
 """
 
 from __future__ import annotations

@@ -52,6 +52,8 @@ def conditioning_from_frames_jax(frames, hop: int, mode: str = "repeat"):
     """Jittable variant; frames (T, D) -> (T*hop, D)."""
     if mode == "repeat":
         return jnp.repeat(frames, hop, axis=0)
+    if mode != "linear":
+        raise ValueError(f"unknown mode: {mode}")
     T = frames.shape[0]
     t_out = jnp.arange(T * hop) / hop
     idx = jnp.clip(t_out, 0, T - 1)

@@ -159,3 +159,51 @@ def test_synthesis_matches_golden_file():
         jnp.asarray(noise), FS, hop, (g["sp"].shape[1] - 1) * 2,
         pulses=jnp.asarray(pulse_excitation(g["f0"], FS))))
     assert np.abs(yj - g["y"]).max() / np.abs(g["y"]).max() < 1e-4
+
+
+def test_hop_rounding_matches_cpp_at_44100():
+    """fs=44100 -> 220.5 samples: Python banker's round() gives 220 but
+    the C++ uses lround (221). A mismatch means world_synthesize writes
+    past the output buffer (code-review regression)."""
+    assert hop_samples(44100) == 221
+    # synthesis at 44.1k must complete without corruption
+    N = 6
+    F = get_fft_size(44100) // 2 + 1
+    f0 = np.full(N, 150.0)
+    sp = np.ones((N, F))
+    ap = np.full((N, F), 0.3)
+    y = synthesize(f0, sp, ap, 44100)
+    assert y.shape == (N * 221,)
+    assert np.isfinite(y).all()
+
+
+def test_band_ap_roundtrip_lossless(vowel_analysis):
+    """code_ap/decode_ap band ownership must match the C++ writer exactly
+    (code-review regression: the shared boundary bin was double-counted)."""
+    from parrot_tpu.vocoder import code_ap, decode_ap
+    _, (f0, sp, ap) = vowel_analysis
+    F = ap.shape[1]
+    coded = code_ap(ap)
+    back = decode_ap(coded, F)
+    np.testing.assert_allclose(back, ap, atol=1e-12)
+
+
+def test_pulse_excitation_vectorized_matches_loop():
+    """The vectorized pulse train must reproduce the sequential C++-style
+    accumulator bit for bit, incl. voiced/unvoiced toggles."""
+    rng = np.random.default_rng(0)
+    f0 = np.where(rng.uniform(size=50) < 0.7,
+                  rng.uniform(90, 400, 50), 0.0)
+    ev = pulse_excitation(f0, FS)
+    hop = hop_samples(FS)
+    ref = np.zeros(len(f0) * hop)
+    phase, prev_floor = 0.0, 0.0
+    for t in range(len(ref)):
+        f = f0[t // hop]
+        if f > 0:
+            phase += f / FS
+            fl = np.floor(phase)
+            if fl > prev_floor:
+                ref[t] = np.sqrt(FS / f)
+            prev_floor = fl
+    np.testing.assert_array_equal(ev, ref)
