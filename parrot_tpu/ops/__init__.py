@@ -1,1 +1,6 @@
-from parrot_tpu.ops.fused_decode import fused_decode, FusedDecodeParams  # noqa: F401
+from parrot_tpu.ops.fused_decode import (  # noqa: F401
+    fused_decode,
+    prepare_params,
+    flatten_state,
+    n_weight_arrays,
+)

@@ -102,11 +102,19 @@ class Sampler:
             speaker = jnp.zeros((text.shape[0],), jnp.int32)
         ms = int(max_steps if max_steps is not None else self.cfg.max_steps)
         use_fused = (self.cfg.use_fused_kernel and not return_phis
-                     and self.model.L == 3
                      and not self.model.cfg.layer_norm  # kernel: no LN
+                     and not getattr(self, "_fused_broken", False)
                      and jax.default_backend() != "cpu")
         if use_fused:
-            return self._generate_fused(text, text_mask, speaker, key, ms)
+            try:
+                return self._generate_fused(text, text_mask, speaker, key,
+                                            ms)
+            except Exception as e:
+                # e.g. VMEM overflow on a model too large for the kernel:
+                # remember and fall back to the reference while_loop path
+                self._fused_broken = True
+                print(f"fused decode unavailable ({type(e).__name__}); "
+                      f"falling back to the reference sampler")
         return self._gen(self.params, jnp.asarray(text),
                          jnp.asarray(text_mask, jnp.float32),
                          jnp.asarray(speaker), key, max_steps=ms)
@@ -115,7 +123,9 @@ class Sampler:
     def _generate_fused(self, text, text_mask, speaker, key, max_steps):
         """Pallas fused-kernel generation (fixed step count, host-side
         stop detection from the kappa trajectory)."""
-        from parrot_tpu.ops.fused_decode import fused_decode, prepare_params
+        from parrot_tpu.ops.fused_decode import (fused_decode,
+                                                  prepare_params,
+                                                  flatten_state)
 
         model, cfg = self.model, self.cfg
         text = jnp.asarray(text)
@@ -141,16 +151,14 @@ class Sampler:
                 seed = jax.random.randint(key, (1,), 0, 2**31 - 1,
                                           dtype=jnp.int32)
                 st = model.init_state(text.shape[0], text.shape[1])
-                init = (st.hs[0][0], st.hs[0][1], st.hs[1][0], st.hs[1][1],
-                        st.hs[2][0], st.hs[2][1], st.kappa, st.w, st.x_last)
-                return enc, kp, seed, init
+                return enc, kp, seed, flatten_state(st)
             self._fused_pre = jax.jit(pre)
         enc, kp, seed, init = self._fused_pre(self.params, text, text_mask,
                                               speaker, key)
         frames, kappas = fused_decode(
             kp, enc, text_mask, init, seed,
             T=T, D=model.D, E=model.E, H=model.H, K=model.K,
-            M=model.cfg.num_mixtures, head_dim=model.head_dim,
+            M=model.cfg.num_mixtures, L=model.L,
             alignment=model.cfg.attention_alignment,
             bias=cfg.sampling_bias, min_log_sigma=model.cfg.min_log_sigma,
             is_gmm=(model.cfg.which_cost == "GMM"), chunk_steps=CHUNK,

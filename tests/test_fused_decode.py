@@ -8,13 +8,14 @@ import pytest
 
 from parrot_tpu.config import ModelConfig, SampleConfig
 from parrot_tpu.models import Parrot
-from parrot_tpu.ops.fused_decode import fused_decode, prepare_params
+from parrot_tpu.ops.fused_decode import (fused_decode, prepare_params,
+                                          flatten_state, n_weight_arrays)
 from parrot_tpu.sample import Sampler
 
 
-def build(which="MSE"):
+def build(which="MSE", layers=3):
     cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
-                      encoder_dim=8, rnn_h_dim=16, decoder_layers=3,
+                      encoder_dim=8, rnn_h_dim=16, decoder_layers=layers,
                       readouts_dim=16, attention_mixtures=2, num_mixtures=2,
                       which_cost=which)
     model = Parrot(cfg)
@@ -28,9 +29,7 @@ def setup_inputs(model, params, B=3, U=6):
     mask = jnp.ones((B, U))
     enc = model.encode(params, text, mask)
     st = model.init_state(B, U)
-    init = (st.hs[0][0], st.hs[0][1], st.hs[1][0], st.hs[1][1],
-            st.hs[2][0], st.hs[2][1], st.kappa, st.w, st.x_last)
-    return text, mask, enc, st, init
+    return text, mask, enc, st, flatten_state(st)
 
 
 def run_fused(model, params, enc, mask, init, T, chunk, is_gmm=False):
@@ -38,7 +37,7 @@ def run_fused(model, params, enc, mask, init, T, chunk, is_gmm=False):
                         enc.shape[0], weight_dtype=jnp.float32)
     return fused_decode(kp, enc, mask, init, np.array([0], np.int32),
                         T=T, D=model.D, E=model.E, H=model.H, K=model.K,
-                        M=model.cfg.num_mixtures, head_dim=model.head_dim,
+                        M=model.cfg.num_mixtures, L=model.L,
                         is_gmm=is_gmm, interpret=True, chunk_steps=chunk)
 
 
@@ -104,6 +103,25 @@ def test_sampler_fused_falls_back_on_cpu():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_fused_any_depth_matches_sample_step():
+    """The kernel arg plumbing is depth-generic: L=2 and L=4 must match
+    the plain-JAX step chain like L=3 does."""
+    for L in (1, 2, 4):
+        cfg, model, params = build("MSE", layers=L)
+        text, mask, enc, st, init = setup_inputs(model, params)
+        T = 4
+        s = st._replace(enc=enc)
+        ref = []
+        for t in range(T):
+            s, x, phi, raw = model.sample_step(
+                params, s, mask, jnp.zeros((3,), jnp.int32),
+                jax.random.PRNGKey(t))
+            ref.append(np.asarray(x))
+        frames, _ = run_fused(model, params, enc, mask, init, T, chunk=2)
+        np.testing.assert_allclose(np.asarray(frames), np.stack(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"L={L}")
+
+
 def test_prepare_params_speaker_folding():
     cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
                       encoder_dim=8, rnn_h_dim=16, decoder_layers=3,
@@ -113,12 +131,14 @@ def test_prepare_params_speaker_folding():
     params = model.init_params(jax.random.PRNGKey(1))
     spk = jnp.asarray([0, 2], jnp.int32)
     kp = prepare_params(model, params, spk, 2, weight_dtype=jnp.float32)
+    assert len(kp) == n_weight_arrays(3)
+    bias1 = kp[3]  # layer-0 order: wx_x, wx_w, wh, bias
     # bias = b + spk_emb @ wx_s for each layer
     emb = model._speaker_vec(params, spk)
     wx = params["dec"][0]["wx"]
     s_w = wx[-cfg.speaker_dim:]
     want = params["dec"][0]["b"][None, :] + emb @ s_w
-    np.testing.assert_allclose(np.asarray(kp.bias1), np.asarray(want),
+    np.testing.assert_allclose(np.asarray(bias1), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
     # different speakers -> different biases
-    assert np.abs(np.asarray(kp.bias1[0] - kp.bias1[1])).max() > 1e-6
+    assert np.abs(np.asarray(bias1[0] - bias1[1])).max() > 1e-6
