@@ -53,6 +53,10 @@ class ModelConfig:
     layer_norm: bool = False           # layer norm inside LSTM cells
     # --- numerics ---
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' matmul compute
+    remat_scan: bool = False           # rematerialize the decoder scan body
+                                       # (O(1) activation memory per step,
+                                       # recompute in backward; for long
+                                       # TBPTT segments)
 
     @property
     def encoder_out_dim(self) -> int:

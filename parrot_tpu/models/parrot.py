@@ -290,7 +290,8 @@ class Parrot:
 
         init = (state.hs, state.kappa, state.w)
         xs = tuple(hoisted) + (mask,)
-        (hs, kappa, w), (feats, phis) = jax.lax.scan(body, init, xs)
+        scan_body = jax.checkpoint(body) if cfg.remat_scan else body
+        (hs, kappa, w), (feats, phis) = jax.lax.scan(scan_body, init, xs)
         readouts = jnp.tanh(Linear.apply(params["readout"], feats, dt))
         raw = Linear.apply(params["head"], readouts, dt)
         new_state = DecoderState(hs=hs, kappa=kappa, w=w, enc=enc,

@@ -42,6 +42,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--feedback_noise_level", type=float, default=None)
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat_scan", action="store_true", default=None)
 
 
 def train_parse(argv=None) -> ParrotConfig:
@@ -125,7 +126,7 @@ def _build_config(args, train_keys) -> ParrotConfig:
         "embed_dim", "decoder_layers", "attention_mixtures",
         "attention_alignment", "num_mixtures", "use_speaker",
         "num_speakers", "speaker_dim", "layer_norm",
-        "feedback_noise_level", "compute_dtype"])
+        "feedback_noise_level", "compute_dtype", "remat_scan"])
     data = overrides(cfg.data, ["dataset", "data_dir", "batch_size",
                                 "seq_size", "max_text_len"])
     train = overrides(cfg.train, train_keys)

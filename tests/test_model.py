@@ -205,3 +205,23 @@ def test_stacked_encoder_layers():
     for l in range(2):
         assert max(float(jnp.abs(x).max())
                    for x in jax.tree.leaves(g["enc_fwd"][l])) > 0
+
+
+def test_remat_scan_matches_plain():
+    """remat_scan trades memory for recompute; loss and grads must be
+    identical to the plain scan."""
+    rng = np.random.default_rng(11)
+    batch = make_batch(rng)
+    outs = []
+    for remat in (False, True):
+        cfg = tiny_cfg(remat_scan=remat)
+        model = Parrot(cfg)
+        params = model.init_params(jax.random.PRNGKey(7))
+        loss, g = jax.value_and_grad(
+            lambda p: model.compute_cost(p, norm_id(7), batch, None)[0])(
+            params)
+        outs.append((float(loss), g))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
