@@ -68,9 +68,9 @@ def main(argv=None):
                      "charset/phoneme inventory")
         speakers = [args.speaker_id]
     else:
-        valid = corpus.split("valid")[:args.num_samples]
-        ids = [corpus.text(int(i)) for i in valid]
-        speakers = [corpus.speaker(int(i)) for i in valid]
+        chosen = corpus.split(args.split)[:args.num_samples]
+        ids = [corpus.text(int(i)) for i in chosen]
+        speakers = [corpus.speaker(int(i)) for i in chosen]
 
     sampler = Sampler(model, params, norm, cfg.sample)
     out_dir = os.path.join(cfg.train.save_dir, cfg.train.model_name,

@@ -86,6 +86,8 @@ def generate_parse(argv=None):
     p.add_argument("--checkpoint", type=str, default="best",
                    choices=["best", "latest"])
     p.add_argument("--no_fused_kernel", action="store_true")
+    p.add_argument("--split", default="valid", choices=["valid", "train"],
+                   help="which corpus split to draw utterances from")
     p.add_argument("--no_plots", action="store_true",
                    help="skip attention/feature plots; enables the fused "
                         "Pallas serving path")

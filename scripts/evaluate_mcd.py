@@ -30,6 +30,10 @@ def main():
                    choices=["best", "latest"])
     p.add_argument("--num_utterances", type=int, default=8)
     p.add_argument("--sampling_bias", type=float, default=1.0)
+    p.add_argument("--n_sp", type=int, default=None,
+                   help="envelope coefficients used for MCD (default: all; "
+                        "13 approximates the classic speech convention)")
+    p.add_argument("--split", default="valid", choices=["valid", "train"])
     a = p.parse_args()
 
     corpus = H5Corpus(a.dataset)
@@ -52,7 +56,8 @@ def main():
     sample_cfg = dataclasses.replace(cfg.sample,
                                      sampling_bias=a.sampling_bias)
     report = mcd_report(model, params, norm, corpus, cfg.data, sample_cfg,
-                        num_utterances=a.num_utterances)
+                        num_utterances=a.num_utterances, n_sp=a.n_sp,
+                        split=a.split)
     report["checkpoint_step"] = step
     print(json.dumps(report, indent=2))
 
