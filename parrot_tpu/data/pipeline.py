@@ -83,17 +83,23 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
 
 def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
                   training: bool = True,
-                  epochs: Optional[int] = None) -> Iterator[Batch]:
+                  epochs: Optional[int] = None,
+                  skip_segments: int = 0) -> Iterator[Batch]:
     """Yield TBPTT segment batches.
 
     training=True: shuffle each epoch, sort within pools of
     batch_size*sort_pool_size utterances by frame length (bucketing),
     drop the final short batch. training=False: deterministic order,
     final short batch zero-padded (mask excludes pad rows).
+
+    skip_segments: fast-forward the deterministic stream by this many
+    segments WITHOUT materializing the skipped batches (resume support —
+    segment counts come from frame_lengths alone).
     """
     idx = corpus.split(split)
     rng = np.random.default_rng(cfg.shuffle_seed)
     epoch = 0
+    remaining = int(skip_segments)
     while epochs is None or epoch < epochs:
         order = rng.permutation(idx) if training else np.asarray(idx)
         pool_size = cfg.batch_size * max(1, cfg.sort_pool_size)
@@ -103,5 +109,15 @@ def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
             for b in _chunks(list(pool), cfg.batch_size):
                 if training and len(b) < cfg.batch_size:
                     continue
-                yield from _segment_batch(corpus, b, cfg)
+                if remaining > 0:
+                    t_max = int(max(corpus.frame_lengths[i] for i in b))
+                    n_seg = max(1, -(-t_max // cfg.seq_size))
+                    if remaining >= n_seg:
+                        remaining -= n_seg
+                        continue
+                for k, seg in enumerate(_segment_batch(corpus, b, cfg)):
+                    if k < remaining:
+                        continue
+                    yield seg
+                remaining = 0
         epoch += 1

@@ -31,7 +31,8 @@ def teacher_forced_predictions(model: Parrot, params, norm, batch,
                                state=None):
     """Point predictions under teacher forcing: GMM -> argmax-pi mixture
     mean; MSE -> head output. Returns ((B, S, D) RAW-domain frames,
-    new_state). `state` is the carried TBPTT DecoderState — REQUIRED for
+    new_state, phis (S, B, U)). `state` is the carried TBPTT DecoderState
+    — REQUIRED for
     segments after the first, or mid-utterance predictions restart with
     kappa=0 and attend to the text start."""
     cfg = model.cfg
@@ -48,7 +49,7 @@ def teacher_forced_predictions(model: Parrot, params, norm, batch,
     state = state._replace(enc=model.encode(
         params, jnp.asarray(batch.text), jnp.asarray(batch.text_mask)))
     spk = model._speaker_vec(params, jnp.asarray(batch.speaker))
-    raw, new_state, _ = model.scan_decoder(
+    raw, new_state, phis = model.scan_decoder(
         params, state, x_in, jnp.asarray(batch.features_mask).T,
         jnp.asarray(batch.text_mask), spk)
     if cfg.which_cost == "GMM":
@@ -60,7 +61,8 @@ def teacher_forced_predictions(model: Parrot, params, norm, batch,
     else:
         pred = raw
     new_state = new_state._replace(x_last=x_tgt[-1])
-    return (pred * norm["std"] + norm["mean"]).transpose(1, 0, 2), new_state
+    raw_pred = (pred * norm["std"] + norm["mean"]).transpose(1, 0, 2)
+    return raw_pred, new_state, phis
 
 
 def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
@@ -73,7 +75,7 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
 
     # --- teacher-forced + NLL over the eval stream
     tf_pred = jax.jit(lambda b, st: teacher_forced_predictions(
-        model, params, norm, b, st))
+        model, params, norm, b, st)[:2])
     cost = jax.jit(lambda b, st: model.compute_cost(params, norm, b, st))
     tf_dists, nll_sum, frames_sum = [], 0.0, 0.0
     state = None

@@ -237,7 +237,14 @@ class Parrot:
             cost = mse_cost(x_tgt, raw)
         denom = jnp.maximum(mask.sum(), 1.0)
         loss = (cost * mask).sum() / denom
-        new_state = new_state._replace(x_last=x_tgt[-1])
+        # carry the last VALID frame per row (segment tails can be padding;
+        # rows with no valid frame keep their previous x_last)
+        n_valid = mask.sum(axis=0)                             # (B,)
+        last_idx = jnp.maximum(n_valid - 1, 0).astype(jnp.int32)
+        last_valid = jnp.take_along_axis(
+            x_tgt, last_idx[None, :, None], axis=0)[0]         # (B, D)
+        x_last = jnp.where((n_valid > 0)[:, None], last_valid, state.x_last)
+        new_state = new_state._replace(x_last=x_last)
         metrics = {"loss": loss, "frames": mask.sum()}
         return loss, new_state, metrics
 

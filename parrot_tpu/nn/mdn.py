@@ -56,12 +56,10 @@ def gmm_sample(key, mu, log_sigma, logit_pi, bias=0.0):
     k_pi, k_eps = jax.random.split(key)
     logits = logit_pi * (1.0 + bias)
     comp = jax.random.categorical(k_pi, logits, axis=-1)   # (B,)
-    B = mu.shape[0]
     mu_c = jnp.take_along_axis(mu, comp[:, None, None], axis=1)[:, 0]
     ls_c = jnp.take_along_axis(log_sigma, comp[:, None, None], axis=1)[:, 0]
     sigma = jnp.exp(ls_c) * jnp.exp(-bias)
     eps = jax.random.normal(k_eps, mu_c.shape, mu_c.dtype)
-    del B
     return mu_c + sigma * eps
 
 

@@ -13,8 +13,7 @@ sampling per BASELINE.json:9; inference batches are length-bucketed
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -176,9 +175,9 @@ class Sampler:
             def post(frames, kappas, text_mask):
                 T = frames.shape[0]
                 text_lengths = text_mask.sum(-1)             # (B,)
-                mass = jnp.mean(
-                    (kappas > text_lengths[None, :, None]).astype(
-                        jnp.float32), axis=-1)               # (T, B)
+                # one stop criterion for both serving paths
+                mass = jax.vmap(GravesWindow.stop_mass,
+                                in_axes=(0, None))(kappas, text_lengths)
                 done = mass > thr
                 any_done = jnp.any(done, axis=0)
                 first = jnp.argmax(done, axis=0) + 1         # (B,)

@@ -45,6 +45,12 @@ class Trainer:
             raise ValueError(
                 f"batch_size {cfg.data.batch_size} not divisible by "
                 f"{ndev} devices")
+        n_train = len(corpus.split("train"))
+        if n_train < cfg.data.batch_size:
+            raise ValueError(
+                f"train split has {n_train} utterances < batch_size "
+                f"{cfg.data.batch_size}: the training stream would drop "
+                f"every batch and hang")
         self.model = Parrot(cfg.model)
         if cfg.data.normalize:
             self.norm = {"mean": jnp.asarray(corpus.mean),
@@ -173,7 +179,7 @@ class Trainer:
         tot, frames = 0.0, 0.0
         for i, batch in enumerate(device_prefetch(
                 iter(stream), depth=self.cfg.data.prefetch,
-                sharding=self._batch_sh(batch_template=None))):
+                sharding=self._batch_sh())):
             if max_batches is not None and i >= max_batches:
                 break
             dstate, s, f = self._eval_step(self.params, dstate, batch)
@@ -181,7 +187,7 @@ class Trainer:
             frames += float(f)
         return tot / max(frames, 1.0)
 
-    def _batch_sh(self, batch_template):
+    def _batch_sh(self):
         if not hasattr(self, "_cached_batch_sh"):
             # build once from a probe batch
             probe = next(iter(parrot_stream(self.corpus, self.cfg.data,
@@ -211,89 +217,93 @@ class Trainer:
         if self._dstate is None:
             self._dstate = self._fresh_state()
         dstate = self._dstate
+        # fast-forward the deterministic shuffle to the checkpointed
+        # position (Blocks pickled the whole main loop; we replay the
+        # cheap bookkeeping and skip materializing the batches)
         stream = parrot_stream(self.corpus, self.cfg.data, "train",
-                               training=True, epochs=None)
-        raw_it = iter(stream)
-        # replay the deterministic shuffle up to the checkpointed position
-        # (Blocks pickled the whole main loop; we fast-forward instead)
-        for _ in range(self._segments_done):
-            next(raw_it)
-        it = device_prefetch(raw_it, depth=self.cfg.data.prefetch,
-                             sharding=self._batch_sh(None))
+                               training=True, epochs=None,
+                               skip_segments=self._segments_done)
+        it = device_prefetch(iter(stream), depth=self.cfg.data.prefetch,
+                             sharding=self._batch_sh())
         t_last = time.time()
         frames_acc = 0.0
         evals_since_best = 0
         prof_on = False
+        try:
 
-        for batch in it:
-            if self.step >= target:
-                break
-            if self._interrupted:
-                self.log.log("preempted", self.step)
-                break
-            if tcfg.profile_steps != (0, 0):
-                if self.step == tcfg.profile_steps[0] and not prof_on:
-                    jax.profiler.start_trace(
-                        f"{tcfg.save_dir}/{tcfg.model_name}/profile")
-                    prof_on = True
-                if self.step == tcfg.profile_steps[1] and prof_on:
-                    jax.profiler.stop_trace()
-                    prof_on = False
-            with jax.profiler.StepTraceAnnotation("train",
-                                                   step_num=self.step):
-                self.params, self.opt_state, dstate, metrics = \
-                    self._train_step(self.params, self.opt_state, dstate,
-                                     batch, jnp.int32(self.step))
-            self._dstate = dstate
-            self.step += 1
-            self._segments_done += 1
-            frames_acc += float(metrics["frames"])
-
-            if self.step % tcfg.log_every == 0:
-                dt = time.time() - t_last
-                fps = frames_acc / max(dt, 1e-9)
-                self.log.log("train", self.step,
-                             loss=metrics["loss"],
-                             grad_norm=metrics["grad_norm"],
-                             lr=metrics["lr"],
-                             frames_per_sec=fps)
-                if self._tb is not None:
-                    self._tb.add_scalar("train/loss", float(metrics["loss"]),
-                                        self.step)
-                    self._tb.add_scalar("train/frames_per_sec", fps,
-                                        self.step)
-                t_last = time.time()
-                frames_acc = 0.0
-
-            if tcfg.eval_every and self.step % tcfg.eval_every == 0:
-                valid = self.evaluate()
-                is_best = valid < self.best_valid
-                if is_best:
-                    self.best_valid = valid
-                    evals_since_best = 0
-                else:
-                    evals_since_best += 1
-                self.log.log("valid", self.step, valid_loss=valid,
-                             best=self.best_valid)
-                if self._tb is not None:
-                    self._tb.add_scalar("valid/loss", valid, self.step)
-                if tcfg.plot_alignments:
-                    self._dump_alignment()
-                if tcfg.track_best and is_best:
-                    self._save(is_best=True)
-                if (tcfg.early_stop_patience
-                        and evals_since_best >= tcfg.early_stop_patience):
-                    self.log.log("early_stop", self.step)
+            for batch in it:
+                if self.step >= target:
                     break
+                if self._interrupted:
+                    self.log.log("preempted", self.step)
+                    break
+                if tcfg.profile_steps != (0, 0):
+                    if self.step == tcfg.profile_steps[0] and not prof_on:
+                        jax.profiler.start_trace(
+                            f"{tcfg.save_dir}/{tcfg.model_name}/profile")
+                        prof_on = True
+                    if self.step == tcfg.profile_steps[1] and prof_on:
+                        jax.profiler.stop_trace()
+                        prof_on = False
+                with jax.profiler.StepTraceAnnotation("train",
+                                                       step_num=self.step):
+                    self.params, self.opt_state, dstate, metrics = \
+                        self._train_step(self.params, self.opt_state, dstate,
+                                         batch, jnp.int32(self.step))
+                self._dstate = dstate
+                self.step += 1
+                self._segments_done += 1
+                frames_acc += float(metrics["frames"])
 
-            if tcfg.save_every and self.step % tcfg.save_every == 0:
-                self._save()
+                if self.step % tcfg.log_every == 0:
+                    dt = time.time() - t_last
+                    fps = frames_acc / max(dt, 1e-9)
+                    self.log.log("train", self.step,
+                                 loss=metrics["loss"],
+                                 grad_norm=metrics["grad_norm"],
+                                 lr=metrics["lr"],
+                                 frames_per_sec=fps)
+                    if self._tb is not None:
+                        self._tb.add_scalar("train/loss", float(metrics["loss"]),
+                                            self.step)
+                        self._tb.add_scalar("train/frames_per_sec", fps,
+                                            self.step)
+                    t_last = time.time()
+                    frames_acc = 0.0
 
-        if prof_on:
-            jax.profiler.stop_trace()
+                if tcfg.eval_every and self.step % tcfg.eval_every == 0:
+                    valid = self.evaluate()
+                    is_best = valid < self.best_valid
+                    if is_best:
+                        self.best_valid = valid
+                        evals_since_best = 0
+                    else:
+                        evals_since_best += 1
+                    self.log.log("valid", self.step, valid_loss=valid,
+                                 best=self.best_valid)
+                    if self._tb is not None:
+                        self._tb.add_scalar("valid/loss", valid, self.step)
+                    if tcfg.plot_alignments:
+                        self._dump_alignment()
+                    if tcfg.track_best and is_best:
+                        self._save(is_best=True)
+                    if (tcfg.early_stop_patience
+                            and evals_since_best >= tcfg.early_stop_patience):
+                        self.log.log("early_stop", self.step)
+                        break
+
+                if tcfg.save_every and self.step % tcfg.save_every == 0:
+                    self._save()
+
+        finally:
+            # restore handlers / close the trace even when the loop
+            # raises (NaN debug, OOM, data errors) — otherwise the
+            # surviving process swallows Ctrl-C / SIGTERM forever
+            if prof_on:
+                jax.profiler.stop_trace()
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
         self._save()
-        for sig, h in old_handlers.items():
-            signal.signal(sig, h)
         return {"step": self.step, "best_valid": self.best_valid,
                 "interrupted": self._interrupted}
 
@@ -304,24 +314,13 @@ class Trainer:
 
         import numpy as np
 
+        from parrot_tpu.evaluate import teacher_forced_predictions
         from parrot_tpu.utils.plotting import save_attention_plot
 
         batch = next(iter(parrot_stream(self.corpus, self.cfg.data, "valid",
                                         training=False, epochs=1)))
-        xn = (jnp.asarray(batch.features) - self.norm["mean"]) \
-            / self.norm["std"]
-        x_tgt = xn.transpose(1, 0, 2)
-        B = x_tgt.shape[1]
-        x_in = jnp.concatenate([jnp.zeros_like(x_tgt[:1]), x_tgt[:-1]], 0)
-        state = self.model.init_state(B, batch.text.shape[1])
-        state = state._replace(enc=self.model.encode(
-            self.params, jnp.asarray(batch.text),
-            jnp.asarray(batch.text_mask)))
-        spk = self.model._speaker_vec(self.params,
-                                      jnp.asarray(batch.speaker))
-        _, _, phis = self.model.scan_decoder(
-            self.params, state, x_in, jnp.asarray(batch.features_mask).T,
-            jnp.asarray(batch.text_mask), spk)
+        _, _, phis = teacher_forced_predictions(
+            self.model, self.params, self.norm, batch)
         out_dir = os.path.join(self.cfg.train.save_dir,
                                self.cfg.train.model_name, "alignments")
         os.makedirs(out_dir, exist_ok=True)

@@ -109,6 +109,12 @@ DEFAULT_MAP: List[Tuple[str, str, List[str]]] = [
     (r".*rnn[_]?(0|1)?.*level[_]?0.*W_state$", "dec/0/wh", []),
     (r".*level[_]?1.*W_state$", "dec/1/wh", []),
     (r".*level[_]?2.*W_state$", "dec/2/wh", []),
+    (r".*level[_]?0.*(fork|input|x_to).*\.W$", "dec/0/wx", []),
+    (r".*level[_]?1.*(fork|input|x_to).*\.W$", "dec/1/wx", []),
+    (r".*level[_]?2.*(fork|input|x_to).*\.W$", "dec/2/wx", []),
+    (r".*level[_]?0.*\.b(iases)?$", "dec/0/b", []),
+    (r".*level[_]?1.*\.b(iases)?$", "dec/1/b", []),
+    (r".*level[_]?2.*\.b(iases)?$", "dec/2/b", []),
     (r".*readout.*\.W$", "readout/w", []),
     (r".*readout.*\.b$", "readout/b", []),
     (r".*(emitter|mixture|gmm).*\.W$", "head/w", []),
@@ -142,7 +148,10 @@ def import_theano_checkpoint(
         for pattern, our_path, transforms in rules:
             if re.match(pattern, ref_name):
                 if our_path in filled:
-                    continue  # first match wins
+                    # first reference tensor wins for a target; a later
+                    # duplicate must NOT fall through to other rules (it
+                    # would bind to the wrong target)
+                    break
                 out = _apply_transforms(arr, transforms)
                 if our_path not in ours_flat:
                     raise KeyError(f"map target not in model: {our_path}")
