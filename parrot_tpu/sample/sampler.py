@@ -132,8 +132,10 @@ class Sampler:
         speaker = jnp.asarray(speaker)
         B, U = text.shape
         # large chunks amortize per-grid-step pipeline overhead; small
-        # chunks avoid wasted compute when generations are short
-        CHUNK = 64 if max_steps >= 256 else 16
+        # chunks avoid wasted compute when generations are short (and the
+        # early-exit zero-fills any overshoot cheaply)
+        CHUNK = (128 if max_steps >= 512 else
+                 64 if max_steps >= 256 else 16)
         T = -(-max_steps // CHUNK) * CHUNK
 
         # one jitted pre-stage: encoder + weight slicing + seed derivation
