@@ -225,3 +225,26 @@ def test_remat_scan_matches_plain():
     for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_layer_norm_paths():
+    """layer_norm=True exercises the LN branches in cells and encoder:
+    cost + grads finite, sampler falls back off the fused kernel."""
+    cfg = tiny_cfg(layer_norm=True)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(5))
+    assert "ln_g" in params["dec"][0]
+    rng = np.random.default_rng(12)
+    batch = make_batch(rng)
+    loss, g = jax.value_and_grad(
+        lambda p: model.compute_cost(p, norm_id(7), batch, None)[0])(params)
+    assert np.isfinite(float(loss))
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+    # LN params receive gradient
+    assert float(jnp.abs(g["dec"][0]["ln_g"]["g"]).max()) > 0
+    # generation path (sample_step) also handles LN
+    st = model.init_state(3, 6)
+    st = st._replace(enc=model.encode(params, batch.text, batch.text_mask))
+    st2, x, phi, raw = model.sample_step(params, st, batch.text_mask,
+                                         batch.speaker, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(x)).all()
