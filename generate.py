@@ -20,37 +20,20 @@ import numpy as np
 
 def main(argv=None):
     from parrot_tpu.utils.cli import generate_parse, resolve_corpus_path
-    from parrot_tpu.config import ParrotConfig
     from parrot_tpu.data import H5Corpus
-    from parrot_tpu.models import Parrot
     from parrot_tpu.sample import Sampler, bucket_by_length
-    from parrot_tpu.train.checkpoint import CheckpointManager
     from parrot_tpu.utils.plotting import save_attention_plot, save_feature_plot
-    import jax
-    import jax.numpy as jnp
 
     cfg, args = generate_parse(argv)
     corpus = H5Corpus(resolve_corpus_path(cfg))
 
-    # restore config saved at train time (ensures matching architecture)
-    ckpt = CheckpointManager(cfg.train.save_dir, cfg.train.model_name)
-    probe = ckpt._resolve(args.checkpoint)
-    if probe is None:
-        sys.exit(f"no checkpoint under {cfg.train.save_dir}/"
-                 f"{cfg.train.model_name}")
-    meta = json.load(open(os.path.join(probe, "meta.json")))
-    if "config" in meta:
-        saved = ParrotConfig.from_json(meta["config"])
-        cfg = cfg.replace(model=saved.model)
-
-    model = Parrot(cfg.model)
-    params0 = model.init_params(jax.random.PRNGKey(0))
-    D = cfg.model.frame_size
-    norm0 = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
-    step, trees, _ = ckpt.restore(
-        {"params": params0, "norm": norm0}, which=args.checkpoint)
-    params = jax.device_put(trees["params"])
-    norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
+    from parrot_tpu.train.checkpoint import load_for_inference
+    try:
+        model, params, norm, saved_cfg, step = load_for_inference(
+            cfg.train.save_dir, cfg.train.model_name, args.checkpoint)
+    except (FileNotFoundError, ValueError) as e:
+        sys.exit(str(e))
+    cfg = cfg.replace(model=saved_cfg.model)
     print(f"loaded checkpoint step={step}")
 
     # inputs: explicit text (needs corpus charset) or valid-split texts

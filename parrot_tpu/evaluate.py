@@ -22,19 +22,20 @@ import numpy as np
 from parrot_tpu.config import DataConfig, SampleConfig
 from parrot_tpu.data import H5Corpus, parrot_stream
 from parrot_tpu.models import Parrot
-from parrot_tpu.nn.mdn import split_gmm_params
+from parrot_tpu.nn.mdn import gmm_nll, mse_cost, split_gmm_params
 from parrot_tpu.sample import Sampler, bucket_by_length
 from parrot_tpu.vocoder.mcd import mcd
 
 
 def teacher_forced_predictions(model: Parrot, params, norm, batch,
                                state=None):
-    """Point predictions under teacher forcing: GMM -> argmax-pi mixture
-    mean; MSE -> head output. Returns ((B, S, D) RAW-domain frames,
-    new_state, phis (S, B, U)). `state` is the carried TBPTT DecoderState
-    — REQUIRED for
-    segments after the first, or mid-utterance predictions restart with
-    kappa=0 and attend to the text start."""
+    """One teacher-forced pass: point predictions (GMM -> argmax-pi
+    mixture mean; MSE -> head output), NLL, and attention weights.
+    Returns ((B, S, D) RAW-domain frames, new_state, phis (S, B, U),
+    nll_sum scalar, frames scalar). `state` is the carried TBPTT
+    DecoderState — REQUIRED for segments after the first, or
+    mid-utterance predictions restart with kappa=0 and attend to the
+    text start."""
     cfg = model.cfg
     B, S, D = batch.features.shape
     xn = (jnp.asarray(batch.features) - norm["mean"]) / norm["std"]
@@ -52,17 +53,29 @@ def teacher_forced_predictions(model: Parrot, params, norm, batch,
     raw, new_state, phis = model.scan_decoder(
         params, state, x_in, jnp.asarray(batch.features_mask).T,
         jnp.asarray(batch.text_mask), spk)
+    mask_t = jnp.asarray(batch.features_mask).T            # (S, B)
     if cfg.which_cost == "GMM":
         mu, ls, pi = split_gmm_params(raw, D, cfg.num_mixtures,
                                       cfg.min_log_sigma)
+        cost = gmm_nll(x_tgt, mu, ls, pi)                  # (S, B)
         comp = jnp.argmax(pi, axis=-1)                     # (S, B)
         pred = jnp.take_along_axis(
             mu, comp[..., None, None], axis=2)[..., 0, :]  # (S, B, D)
     else:
+        cost = mse_cost(x_tgt, raw)
         pred = raw
-    new_state = new_state._replace(x_last=x_tgt[-1])
+    nll_sum = (cost * mask_t).sum()
+    frames = mask_t.sum()
+    # carry the last VALID frame (segment tails can be padding), matching
+    # Parrot.compute_cost
+    n_valid = mask_t.sum(axis=0)
+    last_idx = jnp.maximum(n_valid - 1, 0).astype(jnp.int32)
+    last_valid = jnp.take_along_axis(x_tgt, last_idx[None, :, None],
+                                     axis=0)[0]
+    x_last = jnp.where((n_valid > 0)[:, None], last_valid, state.x_last)
+    new_state = new_state._replace(x_last=x_last)
     raw_pred = (pred * norm["std"] + norm["mean"]).transpose(1, 0, 2)
-    return raw_pred, new_state, phis
+    return raw_pred, new_state, phis, nll_sum, frames
 
 
 def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
@@ -73,21 +86,22 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
     n_sp = n_sp if n_sp is not None else max(1, model.D - 6)
     idx = corpus.split(split)[:num_utterances]
 
-    # --- teacher-forced + NLL over the eval stream
-    tf_pred = jax.jit(lambda b, st: teacher_forced_predictions(
-        model, params, norm, b, st)[:2])
-    cost = jax.jit(lambda b, st: model.compute_cost(params, norm, b, st))
+    # --- teacher-forced MCD + NLL in ONE pass over the eval stream
+    def _tf(b, st):
+        pred, new_state, _phis, s, f = teacher_forced_predictions(
+            model, params, norm, b, st)
+        return pred, new_state, s, f
+
+    tf_pred = jax.jit(_tf)
     tf_dists, nll_sum, frames_sum = [], 0.0, 0.0
-    state = None
     B0 = data_cfg.batch_size
     pred_state = model.init_state(B0, data_cfg.max_text_len)
     for batch in parrot_stream(corpus, data_cfg, split, training=False,
                                epochs=1):
-        pred, pred_state = tf_pred(batch, pred_state)
+        pred, pred_state, s, f = tf_pred(batch, pred_state)
         pred = np.asarray(pred)
-        loss, state, metrics = cost(batch, state)
-        nll_sum += float(loss) * float(metrics["frames"])
-        frames_sum += float(metrics["frames"])
+        nll_sum += float(s)
+        frames_sum += float(f)
         m = np.asarray(batch.features_mask)
         for b in range(pred.shape[0]):
             n = int(m[b].sum())
@@ -97,8 +111,9 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
             d = mcd(ref[:, :n_sp], pred[b, :n][:, :n_sp])
             tf_dists.append((d, n))
 
-    tf_mcd = (sum(d * n for d, n in tf_dists)
-              / max(sum(n for _, n in tf_dists), 1))
+    tf_frames = sum(n for _, n in tf_dists)
+    tf_mcd = (sum(d * n for d, n in tf_dists) / tf_frames
+              if tf_frames else float("nan"))
 
     # --- free-running with DTW alignment
     sampler = Sampler(model, params, norm, sample_cfg)
@@ -107,7 +122,8 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
     fr_dists = []
     for bidx, text, mask in bucket_by_length(texts, sample_cfg.batch_size):
         spk = np.asarray([speakers[i] for i in bidx], np.int32)
-        frames, lengths, _ = sampler.generate(text, mask, spk)
+        frames, lengths, _ = sampler.generate(text, mask, spk,
+                                              return_phis=False)
         frames = np.asarray(frames)
         for r, i in enumerate(bidx):
             L = int(lengths[r])
@@ -120,6 +136,7 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
     return {
         "teacher_forced_mcd": float(tf_mcd),
         "free_running_mcd": float(np.mean(fr_dists)) if fr_dists else float("nan"),
-        "valid_nll": nll_sum / max(frames_sum, 1.0),
+        "valid_nll": (nll_sum / frames_sum if frames_sum
+                      else float("nan")),
         "num_utterances": len(idx),
     }

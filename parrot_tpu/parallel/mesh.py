@@ -22,6 +22,9 @@ def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
+        if num_devices > len(devices):
+            raise ValueError(f"requested {num_devices} devices but only "
+                             f"{len(devices)} are visible")
         devices = devices[:num_devices]
     arr = np.asarray(devices).reshape(len(devices), 1)
     return Mesh(arr, ("data", "model"))

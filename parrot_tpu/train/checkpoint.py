@@ -143,3 +143,36 @@ class CheckpointManager:
         trees = {name: unflatten_like(tpl, flat, f"{name}/")
                  for name, tpl in templates.items()}
         return meta["step"], trees, meta
+
+
+def load_for_inference(save_dir: str, model_name: str, which: str = "best"):
+    """Shared restore path for generate.py / evaluation scripts.
+
+    Returns (model, params, norm, cfg, step) from a saved checkpoint,
+    rebuilding the architecture from the meta config saved at train time.
+    Raises FileNotFoundError when no checkpoint exists.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.config import ParrotConfig
+    from parrot_tpu.models import Parrot
+
+    mgr = CheckpointManager(save_dir, model_name)
+    d = mgr._resolve(which)
+    if d is None:
+        raise FileNotFoundError(
+            f"no checkpoint under {save_dir}/{model_name}")
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    if "config" not in meta:
+        raise ValueError(f"checkpoint at {d} has no saved config")
+    cfg = ParrotConfig.from_json(meta["config"])
+    model = Parrot(cfg.model)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    D = cfg.model.frame_size
+    norm0 = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+    step, trees, _ = mgr.restore({"params": params0, "norm": norm0},
+                                 which=which)
+    params = jax.device_put(trees["params"])
+    norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
+    return model, params, norm, cfg, step

@@ -319,7 +319,7 @@ class Trainer:
 
         batch = next(iter(parrot_stream(self.corpus, self.cfg.data, "valid",
                                         training=False, epochs=1)))
-        _, _, phis = teacher_forced_predictions(
+        _, _, phis, _, _ = teacher_forced_predictions(
             self.model, self.params, self.norm, batch)
         out_dir = os.path.join(self.cfg.train.save_dir,
                                self.cfg.train.model_name, "alignments")

@@ -17,11 +17,13 @@ from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
 
 
 def _add_common(p: argparse.ArgumentParser):
-    p.add_argument("--model_name", type=str, default="baseline")
-    p.add_argument("--dataset", type=str, default="blizzard",
+    # defaults live in the Config dataclasses; argparse uses None so an
+    # unset flag never clobbers a --config value
+    p.add_argument("--model_name", type=str, default=None)
+    p.add_argument("--dataset", type=str, default=None,
                    help="corpus name or path to an .h5 corpus file")
-    p.add_argument("--data_dir", type=str, default="data")
-    p.add_argument("--save_dir", type=str, default="saved_models")
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--config", type=str, default=None,
                    help="path to a ParrotConfig json (flags still override)")
     # model hyperparameters (reference names)
@@ -110,7 +112,10 @@ def generate_parse(argv=None):
 
 
 def _build_config(args, train_keys) -> ParrotConfig:
-    if args.config and os.path.exists(args.config):
+    if args.config:
+        if not os.path.exists(args.config):
+            import sys
+            sys.exit(f"--config file not found: {args.config}")
         cfg = ParrotConfig.from_json(open(args.config).read())
     else:
         cfg = ParrotConfig()

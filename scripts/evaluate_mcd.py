@@ -14,13 +14,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from parrot_tpu.config import ParrotConfig
     from parrot_tpu.data import H5Corpus
     from parrot_tpu.evaluate import mcd_report
-    from parrot_tpu.models import Parrot
-    from parrot_tpu.train.checkpoint import CheckpointManager
+    from parrot_tpu.train.checkpoint import load_for_inference
 
     p = argparse.ArgumentParser()
     p.add_argument("--model_name", required=True)
@@ -37,20 +33,11 @@ def main():
     a = p.parse_args()
 
     corpus = H5Corpus(a.dataset)
-    mgr = CheckpointManager(a.save_dir, a.model_name)
-    d = mgr._resolve(a.checkpoint)
-    if d is None:
-        sys.exit(f"no checkpoint under {a.save_dir}/{a.model_name}")
-    meta = json.load(open(os.path.join(d, "meta.json")))
-    cfg = ParrotConfig.from_json(meta["config"])
-    model = Parrot(cfg.model)
-    params0 = model.init_params(jax.random.PRNGKey(0))
-    D = cfg.model.frame_size
-    norm0 = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
-    step, trees, _ = mgr.restore({"params": params0, "norm": norm0},
-                                 which=a.checkpoint)
-    params = jax.device_put(trees["params"])
-    norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
+    try:
+        model, params, norm, cfg, step = load_for_inference(
+            a.save_dir, a.model_name, a.checkpoint)
+    except (FileNotFoundError, ValueError) as e:
+        sys.exit(str(e))
 
     import dataclasses
     sample_cfg = dataclasses.replace(cfg.sample,

@@ -39,16 +39,25 @@ def main():
     p.add_argument("--model_name", default="imported")
     p.add_argument("--save_dir", default="saved_models")
     p.add_argument("--name_map", default=None)
+    p.add_argument("--config", default=None,
+                   help="ParrotConfig json fixing the architecture "
+                        "(default: ParrotConfig() with corpus io dims and "
+                        "speaker setup)")
     p.add_argument("--lax", action="store_true",
                    help="allow partial coverage (unfilled params keep init)")
     p.add_argument("--report", action="store_true")
     a = p.parse_args()
 
     corpus = H5Corpus(a.dataset)
-    cfg = ParrotConfig()
+    if a.config:
+        cfg = ParrotConfig.from_json(open(a.config).read())
+    else:
+        cfg = ParrotConfig()
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, frame_size=corpus.frame_size,
-        vocab_size=corpus.vocab_size))
+        vocab_size=corpus.vocab_size,
+        use_speaker=(cfg.model.use_speaker or corpus.num_speakers > 1),
+        num_speakers=max(corpus.num_speakers, cfg.model.num_speakers)))
     model = Parrot(cfg.model)
     template = model.init_params(jax.random.PRNGKey(0))
 

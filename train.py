@@ -40,8 +40,9 @@ def main(argv=None):
     cfg = cfg.replace(model=model)
 
     trainer = Trainer(cfg, corpus)
-    if args.resume:
-        trainer.resume()
+    if args.resume and not trainer.resume():
+        sys.exit(f"--resume: no checkpoint found under "
+                 f"{cfg.train.save_dir}/{cfg.train.model_name}")
     result = trainer.train()
     print(f"done: step={result['step']} best_valid={result['best_valid']:.5g}")
 
