@@ -75,6 +75,7 @@ class DataConfig:
     max_text_len: int = 256       # pad/truncate text ids to this length
     normalize: bool = True        # apply global mean/std (on device)
     prefetch: int = 2             # device prefetch depth (double buffering)
+    cache_mb: int = 512           # preload features into RAM if they fit
     shuffle_seed: int = 0
 
 

@@ -31,7 +31,7 @@ def main(argv=None):
     if not os.path.exists(path):
         sys.exit(f"corpus not found: {path} — run scripts/preprocess.py "
                  f"or scripts/make_fixture.py first")
-    corpus = H5Corpus(path)
+    corpus = H5Corpus(path, cache_mb=cfg.data.cache_mb)
     # corpus dictates io dims unless explicitly configured
     model = dataclasses.replace(
         cfg.model, frame_size=corpus.frame_size,
