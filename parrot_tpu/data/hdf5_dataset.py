@@ -27,10 +27,10 @@ import numpy as np
 class H5Corpus:
     """Read access to a parrot-tpu HDF5 corpus.
 
-    cache_mb: corpora whose features fit under this budget are preloaded
-    into RAM — per-utterance h5py vlen reads are slow enough to bottleneck
-    training on a single-core host (measured 3-4x on the throughput
-    fixture). 0 disables caching.
+    cache_mb: corpora whose features (+ text) fit under this budget are
+    preloaded into RAM on FIRST feature access — per-utterance h5py vlen
+    reads otherwise add host cost on large-batch training. 0 disables
+    caching. Cached arrays are read-only views shared between callers.
     """
 
     def __init__(self, path: str, cache_mb: int = 512):
@@ -48,14 +48,29 @@ class H5Corpus:
         self.frame_lengths = np.asarray(self._f["frame_lengths"][:], np.int64)
         self.text_lengths = np.asarray(self._f["text_lengths"][:], np.int64)
         self._cache = None
-        total_bytes = int(self.frame_lengths.sum()) * self.frame_size * 4
-        if cache_mb and total_bytes <= cache_mb * 1024 * 1024:
-            self._cache = [
-                self._features[i].reshape(int(self.frame_lengths[i]),
-                                          self.frame_size)
-                for i in range(len(self._speaker))]
-            self._text_cache = [np.asarray(t, np.int32)
-                                for t in self._text[:]]
+        total_bytes = (int(self.frame_lengths.sum()) * self.frame_size * 4
+                       + int(self.text_lengths.sum()) * 4)
+        self._cacheable = bool(
+            cache_mb and total_bytes <= cache_mb * 1024 * 1024)
+
+    def _build_cache(self):
+        """Lazy preload (bulk reads), on first feature access only, so
+        attr-only consumers (generate.py, importer) never pay for it."""
+        feats = self._features[:]          # one bulk vlen read
+        texts = self._text[:]
+        cache = []
+        for i in range(len(self._speaker)):
+            arr = feats[i].reshape(int(self.frame_lengths[i]),
+                                   self.frame_size)
+            arr.setflags(write=False)      # shared between callers
+            cache.append(arr)
+        tcache = []
+        for t in texts:
+            a = np.asarray(t, np.int32)
+            a.setflags(write=False)
+            tcache.append(a)
+        self._cache = cache
+        self._text_cache = tcache
 
     def split(self, name: str) -> np.ndarray:
         return np.asarray(self._f["splits"][name][:], np.int64)
@@ -65,13 +80,17 @@ class H5Corpus:
         return len(self._speaker)
 
     def features(self, i: int) -> np.ndarray:
-        if self._cache is not None:
+        if self._cacheable:
+            if self._cache is None:
+                self._build_cache()
             return self._cache[i]
         t = self.frame_lengths[i]
         return self._features[i].reshape(t, self.frame_size)
 
     def text(self, i: int) -> np.ndarray:
-        if self._cache is not None:
+        if self._cacheable:
+            if self._cache is None:
+                self._build_cache()
             return self._text_cache[i]
         return np.asarray(self._text[i], np.int32)
 

@@ -143,3 +143,21 @@ def test_device_prefetch_early_stop_releases_producer():
         time.sleep(0.05)
     assert threading.active_count() <= before
     assert len(produced) < 1000  # producer stopped early, not exhausted
+
+
+def test_feature_cache_readonly_and_lazy(corpus):
+    """Cached corpora hand out read-only shared arrays, built lazily
+    (code-review regression: in-place edits corrupted the cache; attr-only
+    consumers paid the preload)."""
+    from parrot_tpu.data import H5Corpus
+    c = H5Corpus(corpus.path, cache_mb=512)
+    assert c._cache is None  # nothing preloaded before first access
+    f = c.features(0)
+    assert c._cache is not None
+    with pytest.raises(ValueError):
+        f[0, 0] = 99.0
+    # uncached mode still returns writable fresh buffers
+    c0 = H5Corpus(corpus.path, cache_mb=0)
+    g = c0.features(0)
+    g[0, 0] = 99.0  # no error; next read unaffected
+    assert c0.features(0)[0, 0] != 99.0
