@@ -207,3 +207,31 @@ def test_pulse_excitation_vectorized_matches_loop():
                 ref[t] = np.sqrt(FS / f)
             prev_floor = fl
     np.testing.assert_array_equal(ev, ref)
+
+
+@pytest.mark.parametrize("name,make,fs", [
+    ("silence", lambda: np.zeros(8000), 16000),
+    ("very_short", lambda: np.random.default_rng(0).normal(size=480), 16000),
+    ("one_hop", lambda: np.random.default_rng(0).normal(size=80), 16000),
+    ("fs8000", lambda: np.sin(2 * np.pi * 150 * np.arange(4000) / 8000), 8000),
+    ("fs22050", lambda: np.sin(2 * np.pi * 150 * np.arange(11025) / 22050),
+     22050),
+    ("fs44100", lambda: np.sin(2 * np.pi * 150 * np.arange(22050) / 44100),
+     44100),
+    ("huge_amp", lambda: 1e6 * np.sin(2 * np.pi * 150 * np.arange(8000)
+                                      / 16000), 16000),
+])
+def test_analysis_synthesis_robust_to_hostile_input(name, make, fs):
+    """Arbitrary user wavs must not crash or emit non-finite output:
+    silence, sub-window signals, non-16k rates, extreme amplitude."""
+    x = make()
+    f0, sp, ap = analyze(x, fs)
+    assert np.isfinite(sp).all() and np.isfinite(ap).all()
+    assert len(f0) == len(x) // hop_samples(fs)
+    y = synthesize(f0, sp, ap, fs)
+    assert np.isfinite(y).all()
+    if name == "silence":
+        assert (f0 == 0).all()
+    if name.startswith("fs"):
+        v = f0[5:-5]
+        assert abs(np.median(v[v > 0]) - 150.0) < 6.0
