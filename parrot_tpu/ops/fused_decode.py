@@ -39,10 +39,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def n_weight_arrays(L: int) -> int:
+def n_weight_arrays(L: int, layer_norm: bool = False) -> int:
     """Flat weight-tuple length: per layer [wx_x, wx_w, (wx_h l>0), wh,
-    bias] plus attn/readout/head (6)."""
-    return sum(4 if l == 0 else 5 for l in range(L)) + 6
+    bias, (ln_gg, ln_gb, ln_cg, ln_cb when layer_norm)] plus
+    attn/readout/head (6)."""
+    per = sum(4 if l == 0 else 5 for l in range(L))
+    if layer_norm:
+        per += 4 * L
+    return per + 6
 
 
 def prepare_params(model, params, speaker, batch_size,
@@ -77,6 +81,11 @@ def prepare_params(model, params, speaker, batch_size,
         if h_w is not None:
             out.append(c(h_w))
         out += [c(cell["wh"]), f(bias)]
+        if "ln_g" in cell:  # layer_norm params ride along as f32 rows
+            out += [f(cell["ln_g"]["g"])[None, :],
+                    f(cell["ln_g"]["b"])[None, :],
+                    f(cell["ln_c"]["g"])[None, :],
+                    f(cell["ln_c"]["b"])[None, :]]
     out += [
         c(params["attn"]["proj"]["w"]),
         f(params["attn"]["proj"]["b"])[None, :],
@@ -111,21 +120,24 @@ def _uniform(shape):
 
 
 def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
-                 min_log_sigma, is_gmm, stop_threshold=1.0, debug_mode=0):
-    """Returns the kernel body. Shapes and depth are static."""
-    NW = n_weight_arrays(L)
+                 min_log_sigma, is_gmm, layer_norm=False,
+                 stop_threshold=1.0, debug_mode=0):
+    """Returns the kernel body. Shapes, depth and LN are static."""
 
     def kernel(*refs):
         i = 0
         seed_ref = refs[i]; i += 1
-        layers = []  # (wx_x, wx_w, wx_h|None, wh, bias) per layer
+        layers = []  # (wx_x, wx_w, wx_h|None, wh, bias, ln|None) per layer
         for l in range(L):
             if l == 0:
                 wx_x, wx_w, wh, bi = refs[i:i + 4]; i += 4
-                layers.append((wx_x, wx_w, None, wh, bi))
+                wx_h = None
             else:
                 wx_x, wx_w, wx_h, wh, bi = refs[i:i + 5]; i += 5
-                layers.append((wx_x, wx_w, wx_h, wh, bi))
+            ln = None
+            if layer_norm:
+                ln = refs[i:i + 4]; i += 4  # (gg, gb, cg, cb)
+            layers.append((wx_x, wx_w, wx_h, wh, bi, ln))
         wattn, battn, wread, bread, whead, bhead = refs[i:i + 6]; i += 6
         enc, mask = refs[i:i + 2]; i += 2
         init = refs[i:i + 2 * L + 3]; i += 2 * L + 3
@@ -158,14 +170,26 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
         def step_body(c, _):
-            def lstm(gates, h_ref, c_ref, wh):
+            def layernorm(x, g_ref, b_ref):
+                mean = jnp.mean(x, axis=-1, keepdims=True)
+                var = jnp.mean((x - mean) * (x - mean), axis=-1,
+                               keepdims=True)
+                return (g_ref[:] * (x - mean) * jax.lax.rsqrt(var + 1e-5)
+                        + b_ref[:])
+
+            def lstm(gates, h_ref, c_ref, wh, ln):
                 g = gates + dot(h_ref[:].astype(wh.dtype), wh[:])
+                if ln is not None:
+                    g = layernorm(g, ln[0], ln[1])
                 i_ = jax.nn.sigmoid(g[:, :H])
                 fgt = jax.nn.sigmoid(g[:, H:2 * H])
                 cand = jnp.tanh(g[:, 2 * H:3 * H])
                 o = jax.nn.sigmoid(g[:, 3 * H:])
                 c_new = fgt * c_ref[:] + i_ * cand
-                h_new = o * jnp.tanh(c_new)
+                if ln is not None:
+                    h_new = o * jnp.tanh(layernorm(c_new, ln[2], ln[3]))
+                else:
+                    h_new = o * jnp.tanh(c_new)
                 h_ref[:] = h_new
                 c_ref[:] = c_new
                 return h_new
@@ -175,10 +199,10 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
             wd = layers[0][0][:].dtype
 
             # layer 0: input [x, w_prev] (+ folded speaker bias)
-            wx_x, wx_w, _, wh, bi = layers[0]
+            wx_x, wx_w, _, wh, bi, ln0 = layers[0]
             g0 = (bi[:] + dot(x.astype(wd), wx_x[:])
                   + dot(wctx.astype(wd), wx_w[:]))
-            h_new = [lstm(g0, hs[0][0], hs[0][1], wh)]
+            h_new = [lstm(g0, hs[0][0], hs[0][1], wh, ln0)]
 
             # attention from layer-0 state
             a = dot(h_new[0].astype(wd), wattn[:]) + battn[:]   # (B, 3K)
@@ -203,11 +227,11 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
 
             # layers 1..L-1: input [x, w_t, h_below]
             for l in range(1, L):
-                wx_x, wx_w, wx_h, wh, bi = layers[l]
+                wx_x, wx_w, wx_h, wh, bi, lnl = layers[l]
                 gl = (bi[:] + dot(x.astype(wd), wx_x[:])
                       + dot(wctx.astype(wd), wx_w[:])
                       + dot(h_new[-1].astype(wd), wx_h[:]))
-                h_new.append(lstm(gl, hs[l][0], hs[l][1], wh))
+                h_new.append(lstm(gl, hs[l][0], hs[l][1], wh, lnl))
 
             feats = jnp.concatenate(h_new + [wctx], axis=-1)
             readout = jnp.tanh(dot(feats.astype(wd), wread[:]) + bread[:])
@@ -276,11 +300,12 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
     jax.jit,
     static_argnames=("T", "D", "E", "H", "K", "M", "L", "head_dim",
                      "alignment", "bias", "min_log_sigma", "is_gmm",
-                     "interpret", "debug_mode", "chunk_steps",
+                     "layer_norm", "interpret", "debug_mode", "chunk_steps",
                      "stop_threshold"))
 def fused_decode(kp, enc, mask, init_state, seed,
                  *, T, D, E, H, K, M, L=3, head_dim=None, alignment=1.0,
-                 bias=0.0, min_log_sigma=-7.0, is_gmm=True, interpret=False,
+                 bias=0.0, min_log_sigma=-7.0, is_gmm=True,
+                 layer_norm=False, interpret=False,
                  debug_mode=0, chunk_steps=16, stop_threshold=1.0):
     """Run T fused autoregressive steps.
 
@@ -292,12 +317,14 @@ def fused_decode(kp, enc, mask, init_state, seed,
     B, U, _ = enc.shape
     C = chunk_steps
     assert T % C == 0, f"T={T} must be a multiple of chunk_steps={C}"
-    assert len(kp) == n_weight_arrays(L), \
-        f"weight tuple has {len(kp)} arrays, expected {n_weight_arrays(L)}"
+    want_nw = n_weight_arrays(L, layer_norm)
+    assert len(kp) == want_nw, \
+        f"weight tuple has {len(kp)} arrays, expected {want_nw}"
     assert len(init_state) == 2 * L + 3
     kernel = _make_kernel(B=B, D=D, E=E, H=H, K=K, M=M, U=U, C=C, L=L,
                           alignment=alignment, bias=bias,
                           min_log_sigma=min_log_sigma, is_gmm=is_gmm,
+                          layer_norm=layer_norm,
                           stop_threshold=stop_threshold,
                           debug_mode=debug_mode)
 

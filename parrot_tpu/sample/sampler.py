@@ -101,7 +101,6 @@ class Sampler:
             speaker = jnp.zeros((text.shape[0],), jnp.int32)
         ms = int(max_steps if max_steps is not None else self.cfg.max_steps)
         use_fused = (self.cfg.use_fused_kernel and not return_phis
-                     and not self.model.cfg.layer_norm  # kernel: no LN
                      and not getattr(self, "_fused_broken", False)
                      and jax.default_backend() != "cpu")
         if use_fused:
@@ -162,7 +161,8 @@ class Sampler:
             M=model.cfg.num_mixtures, L=model.L,
             alignment=model.cfg.attention_alignment,
             bias=cfg.sampling_bias, min_log_sigma=model.cfg.min_log_sigma,
-            is_gmm=(model.cfg.which_cost == "GMM"), chunk_steps=CHUNK,
+            is_gmm=(model.cfg.which_cost == "GMM"),
+            layer_norm=model.cfg.layer_norm, chunk_steps=CHUNK,
             stop_threshold=cfg.stop_threshold)
 
         frames, lengths = self._finalize_fused(frames, kappas, text_mask,

@@ -142,3 +142,30 @@ def test_prepare_params_speaker_folding():
                                rtol=1e-5, atol=1e-6)
     # different speakers -> different biases
     assert np.abs(np.asarray(bias1[0] - bias1[1])).max() > 1e-6
+
+
+def test_fused_layer_norm_matches_sample_step():
+    """LN models run through the kernel too (was a fallback-only config)."""
+    cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
+                      encoder_dim=8, rnn_h_dim=16, decoder_layers=3,
+                      readouts_dim=16, attention_mixtures=2, num_mixtures=2,
+                      which_cost="MSE", layer_norm=True)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(2))
+    text, mask, enc, st, init = setup_inputs(model, params)
+    T = 4
+    s = st._replace(enc=enc)
+    ref = []
+    for t in range(T):
+        s, x, phi, raw = model.sample_step(
+            params, s, mask, jnp.zeros((3,), jnp.int32), jax.random.PRNGKey(t))
+        ref.append(np.asarray(x))
+    kp = prepare_params(model, params, jnp.zeros((3,), jnp.int32), 3,
+                        weight_dtype=jnp.float32)
+    assert len(kp) == n_weight_arrays(3, layer_norm=True)
+    frames, _ = fused_decode(kp, enc, mask, init, np.array([0], np.int32),
+                             T=T, D=7, E=16, H=16, K=2, M=2, L=3,
+                             is_gmm=False, layer_norm=True, interpret=True,
+                             chunk_steps=2)
+    np.testing.assert_allclose(np.asarray(frames), np.stack(ref),
+                               rtol=1e-4, atol=1e-5)
