@@ -13,11 +13,11 @@ from parrot_tpu.ops.fused_decode import (fused_decode, prepare_params,
 from parrot_tpu.sample import Sampler
 
 
-def build(which="MSE", layers=3):
+def build(which="MSE", layers=3, **kw):
     cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
                       encoder_dim=8, rnn_h_dim=16, decoder_layers=layers,
                       readouts_dim=16, attention_mixtures=2, num_mixtures=2,
-                      which_cost=which)
+                      which_cost=which, **kw)
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     return cfg, model, params
@@ -38,7 +38,21 @@ def run_fused(model, params, enc, mask, init, T, chunk, is_gmm=False):
     return fused_decode(kp, enc, mask, init, np.array([0], np.int32),
                         T=T, D=model.D, E=model.E, H=model.H, K=model.K,
                         M=model.cfg.num_mixtures, L=model.L,
+                        layer_norm=model.cfg.layer_norm,
                         is_gmm=is_gmm, interpret=True, chunk_steps=chunk)
+
+
+def reference_chain(model, params, mask, enc, st, T):
+    """Plain-JAX sample_step chain (deterministic for MSE heads)."""
+    s = st._replace(enc=enc)
+    ref = []
+    B = enc.shape[0]
+    for t in range(T):
+        s, x, phi, raw = model.sample_step(
+            params, s, mask, jnp.zeros((B,), jnp.int32),
+            jax.random.PRNGKey(t))
+        ref.append(np.asarray(x))
+    return np.stack(ref)
 
 
 def test_fused_mse_matches_sample_step_exactly():
@@ -109,16 +123,9 @@ def test_fused_any_depth_matches_sample_step():
     for L in (1, 2, 4):
         cfg, model, params = build("MSE", layers=L)
         text, mask, enc, st, init = setup_inputs(model, params)
-        T = 4
-        s = st._replace(enc=enc)
-        ref = []
-        for t in range(T):
-            s, x, phi, raw = model.sample_step(
-                params, s, mask, jnp.zeros((3,), jnp.int32),
-                jax.random.PRNGKey(t))
-            ref.append(np.asarray(x))
-        frames, _ = run_fused(model, params, enc, mask, init, T, chunk=2)
-        np.testing.assert_allclose(np.asarray(frames), np.stack(ref),
+        ref = reference_chain(model, params, mask, enc, st, T=4)
+        frames, _ = run_fused(model, params, enc, mask, init, 4, chunk=2)
+        np.testing.assert_allclose(np.asarray(frames), ref,
                                    rtol=1e-5, atol=1e-6, err_msg=f"L={L}")
 
 
@@ -146,26 +153,12 @@ def test_prepare_params_speaker_folding():
 
 def test_fused_layer_norm_matches_sample_step():
     """LN models run through the kernel too (was a fallback-only config)."""
-    cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
-                      encoder_dim=8, rnn_h_dim=16, decoder_layers=3,
-                      readouts_dim=16, attention_mixtures=2, num_mixtures=2,
-                      which_cost="MSE", layer_norm=True)
-    model = Parrot(cfg)
-    params = model.init_params(jax.random.PRNGKey(2))
+    cfg, model, params = build("MSE", layer_norm=True)
     text, mask, enc, st, init = setup_inputs(model, params)
-    T = 4
-    s = st._replace(enc=enc)
-    ref = []
-    for t in range(T):
-        s, x, phi, raw = model.sample_step(
-            params, s, mask, jnp.zeros((3,), jnp.int32), jax.random.PRNGKey(t))
-        ref.append(np.asarray(x))
+    ref = reference_chain(model, params, mask, enc, st, T=4)
     kp = prepare_params(model, params, jnp.zeros((3,), jnp.int32), 3,
                         weight_dtype=jnp.float32)
     assert len(kp) == n_weight_arrays(3, layer_norm=True)
-    frames, _ = fused_decode(kp, enc, mask, init, np.array([0], np.int32),
-                             T=T, D=7, E=16, H=16, K=2, M=2, L=3,
-                             is_gmm=False, layer_norm=True, interpret=True,
-                             chunk_steps=2)
-    np.testing.assert_allclose(np.asarray(frames), np.stack(ref),
+    frames, _ = run_fused(model, params, enc, mask, init, 4, chunk=2)
+    np.testing.assert_allclose(np.asarray(frames), ref,
                                rtol=1e-4, atol=1e-5)
