@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""On-chip acceptance checks (run manually on a real TPU; the pytest
+suite deliberately forces a CPU platform). Covers what interpret mode
+cannot: Mosaic lowering and the in-kernel PRNG.
+
+  python scripts/tpu_checks.py          # ~5-10 min incl. compiles
+
+Exit code 0 = all checks pass. SURVEY.md §4 "Kernel parity ... both
+interpret mode (CPU) and real TPU".
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parrot_tpu.config import ModelConfig, SampleConfig
+    from parrot_tpu.models import Parrot
+    from parrot_tpu.sample import Sampler
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        sys.exit("tpu_checks must run on a TPU backend (got cpu)")
+    print(f"backend: {backend}, devices: {jax.devices()}")
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+        if not ok:
+            failures.append(name)
+
+    def parity(cfg, tag, tol):
+        model = Parrot(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        D = cfg.frame_size
+        norm = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+        s = Sampler(model, params, norm,
+                    SampleConfig(max_steps=32, seed=1))
+        rng = np.random.default_rng(0)
+        text = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 6)),
+                           jnp.int32)
+        mask = jnp.ones((4, 6))
+        f_ref, l_ref, _ = s.generate(text, mask, return_phis=True)
+        f_fus, l_fus, _ = s.generate(text, mask, return_phis=False)
+        fell_back = getattr(s, "_fused_broken", False)
+        a, b = np.asarray(f_ref), np.asarray(f_fus)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
+        check(f"{tag}: fused kernel compiled (no fallback)", not fell_back)
+        check(f"{tag}: value parity vs while_loop", err < tol,
+              f"(max rel err {err:.2e}, tol {tol})")
+        check(f"{tag}: stop lengths agree",
+              np.array_equal(np.asarray(l_ref), np.asarray(l_fus)))
+
+    tiny = dict(frame_size=7, vocab_size=9, embed_dim=8, encoder_dim=8,
+                rnn_h_dim=16, decoder_layers=3, readouts_dim=16,
+                attention_mixtures=2, num_mixtures=2)
+    # MSE (deterministic): value parity. Tolerance covers TPU default
+    # matmul precision compounding over 32 recurrent steps.
+    parity(ModelConfig(which_cost="MSE", **tiny), "MSE", 1e-2)
+    parity(ModelConfig(which_cost="MSE", layer_norm=True, **tiny),
+           "MSE+LN", 1e-2)
+
+    # GMM on chip: determinism + sampling statistics + kappa monotone
+    cfg = ModelConfig(**tiny)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    norm = {"mean": jnp.zeros((7,)), "std": jnp.ones((7,))}
+    s = Sampler(model, params, norm,
+                SampleConfig(max_steps=64, seed=3, stop_threshold=1.1,
+                             sampling_bias=0.0))
+    rng = np.random.default_rng(1)
+    text = jnp.asarray(rng.integers(1, 9, (8, 6)), jnp.int32)
+    mask = jnp.ones((8, 6))
+    f1, _, _ = s.generate(text, mask, key=jax.random.PRNGKey(5),
+                          return_phis=False)
+    f2, _, _ = s.generate(text, mask, key=jax.random.PRNGKey(5),
+                          return_phis=False)
+    f3, _, _ = s.generate(text, mask, key=jax.random.PRNGKey(6),
+                          return_phis=False)
+    check("GMM: kernel path used", not getattr(s, "_fused_broken", False))
+    check("GMM: deterministic per seed",
+          np.array_equal(np.asarray(f1), np.asarray(f2)))
+    check("GMM: seed-sensitive",
+          np.abs(np.asarray(f1) - np.asarray(f3)).max() > 1e-6)
+    check("GMM: finite", bool(np.isfinite(np.asarray(f1)).all()))
+    # bias sharpening: higher bias -> lower sample variance around mu
+    s_hi = Sampler(model, params, norm,
+                   SampleConfig(max_steps=64, seed=3, stop_threshold=1.1,
+                                sampling_bias=3.0))
+    f_hi, _, _ = s_hi.generate(text, mask, key=jax.random.PRNGKey(5),
+                               return_phis=False)
+    # frame-to-frame jitter proxy: variance of first differences
+    d0 = np.diff(np.asarray(f1), axis=1).std()
+    d3 = np.diff(np.asarray(f_hi), axis=1).std()
+    check("GMM: bias reduces sampling spread", d3 < d0,
+          f"(std diff {d0:.3f} -> {d3:.3f})")
+
+    print(f"\n{len(failures)} failures" if failures else "\nALL CHECKS PASS")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
