@@ -53,6 +53,11 @@ class ModelConfig:
     layer_norm: bool = False           # layer norm inside LSTM cells
     # --- numerics ---
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' matmul compute
+    scan_unroll: int = 1               # lax.scan unroll factor for the
+                                       # decoder scan (measured neutral-to-
+                                       # slightly-negative on v5e at
+                                       # flagship dims; exposed for other
+                                       # topologies)
     remat_scan: bool = False           # rematerialize the decoder scan body
                                        # (O(1) activation memory per step,
                                        # recompute in backward; for long

@@ -298,7 +298,8 @@ class Parrot:
         init = (state.hs, state.kappa, state.w)
         xs = tuple(hoisted) + (mask,)
         scan_body = jax.checkpoint(body) if cfg.remat_scan else body
-        (hs, kappa, w), (feats, phis) = jax.lax.scan(scan_body, init, xs)
+        (hs, kappa, w), (feats, phis) = jax.lax.scan(
+            scan_body, init, xs, unroll=cfg.scan_unroll)
         readouts = jnp.tanh(Linear.apply(params["readout"], feats, dt))
         raw = Linear.apply(params["head"], readouts, dt)
         new_state = DecoderState(hs=hs, kappa=kappa, w=w, enc=enc,

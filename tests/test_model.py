@@ -248,3 +248,16 @@ def test_layer_norm_paths():
     st2, x, phi, raw = model.sample_step(params, st, batch.text_mask,
                                          batch.speaker, jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_scan_unroll_equivalence():
+    rng = np.random.default_rng(13)
+    batch = make_batch(rng)
+    losses = []
+    for unroll in (1, 3):
+        cfg = tiny_cfg(scan_unroll=unroll)
+        model = Parrot(cfg)
+        params = model.init_params(jax.random.PRNGKey(9))
+        loss, _, _ = model.compute_cost(params, norm_id(7), batch, None)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
