@@ -29,7 +29,7 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     D = cfg.frame_size
 
-    B, U, STEPS = 128, 128, 512
+    B, U, STEPS = 256, 128, 512
     rng = np.random.default_rng(0)
     text = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, U)), jnp.int32)
     mask = jnp.ones((B, U), jnp.float32)

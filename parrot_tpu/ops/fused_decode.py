@@ -370,6 +370,9 @@ def fused_decode(kp, enc, mask, init_state, seed,
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32),
       *kp,
-      enc.astype(jnp.float32), mask.astype(jnp.float32),
+      # enc rides at the serving weight dtype: bf16 halves the largest
+      # VMEM-resident block (B, U, E), raising the max batch the kernel
+      # fits; the context matmul accumulates in f32 either way
+      enc.astype(kp[0].dtype), mask.astype(jnp.float32),
       *[s.astype(jnp.float32) for s in init_state])
     return frames, kappas
