@@ -41,22 +41,36 @@ def _chunks(seq, n):
 
 
 def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
-                   cfg: DataConfig) -> Iterator[Batch]:
+                   cfg: DataConfig, process_index: int = 0,
+                   process_count: int = 1) -> Iterator[Batch]:
+    """Yield the segments of one utterance batch.
+
+    Multi-host: `idx` is always the GLOBAL batch's utterance list, so
+    segment count / start flags stay in lockstep across processes, but
+    only this process's row block [pi*B/pc, (pi+1)*B/pc) is read from
+    disk and materialized (per-process stream sharding, SURVEY.md §2.4).
+    """
     B = cfg.batch_size
+    if B % process_count:
+        raise ValueError(f"batch_size {B} not divisible by "
+                         f"{process_count} processes")
+    B_local = B // process_count
+    rlo = process_index * B_local
     S = cfg.seq_size
     D = corpus.frame_size
     U = cfg.max_text_len
-    n = len(idx)
 
+    # n_seg must come from the GLOBAL max length — all processes agree
     t_max = int(max(corpus.frame_lengths[i] for i in idx))
     n_seg = max(1, -(-t_max // S))
-    padded = np.zeros((B, n_seg * S, D), np.float32)
-    fmask = np.zeros((B, n_seg * S), np.float32)
-    text = np.zeros((B, U), np.int32)
-    tmask = np.zeros((B, U), np.float32)
-    speaker = np.zeros((B,), np.int32)
+    padded = np.zeros((B_local, n_seg * S, D), np.float32)
+    fmask = np.zeros((B_local, n_seg * S), np.float32)
+    text = np.zeros((B_local, U), np.int32)
+    tmask = np.zeros((B_local, U), np.float32)
+    speaker = np.zeros((B_local,), np.int32)
 
-    for row, i in enumerate(idx):
+    # rows beyond len(idx) stay zero (mask 0) for short final batches
+    for row, i in enumerate(idx[rlo:rlo + B_local]):
         f = corpus.features(i)
         t = corpus.text(i)[:U]
         padded[row, :f.shape[0]] = f
@@ -64,12 +78,11 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
         text[row, :len(t)] = t
         tmask[row, :len(t)] = 1.0
         speaker[row] = corpus.speaker(i)
-    del n  # rows beyond len(idx) stay zero (mask 0) for short final batches
 
     for s in range(n_seg):
         lo, hi = s * S, (s + 1) * S
         prev = (padded[:, lo - 1] if s > 0
-                else np.zeros((B, D), np.float32))
+                else np.zeros((B_local, D), np.float32))
         yield Batch(
             features=padded[:, lo:hi],
             features_mask=fmask[:, lo:hi],
@@ -84,7 +97,9 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
 def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
                   training: bool = True,
                   epochs: Optional[int] = None,
-                  skip_segments: int = 0) -> Iterator[Batch]:
+                  skip_segments: int = 0,
+                  process_index: int = 0,
+                  process_count: int = 1) -> Iterator[Batch]:
     """Yield TBPTT segment batches.
 
     training=True: shuffle each epoch, sort within pools of
@@ -95,6 +110,11 @@ def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
     skip_segments: fast-forward the deterministic stream by this many
     segments WITHOUT materializing the skipped batches (resume support —
     segment counts come from frame_lengths alone).
+
+    Multi-host: every process runs the same deterministic shuffle /
+    bucketing bookkeeping (same shuffle_seed), but each yields only its
+    own rows of every global batch — batches have batch_size /
+    process_count rows, ready for `parallel.staging.stage_local`.
     """
     idx = corpus.split(split)
     rng = np.random.default_rng(cfg.shuffle_seed)
@@ -115,7 +135,8 @@ def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
                     if remaining >= n_seg:
                         remaining -= n_seg
                         continue
-                for k, seg in enumerate(_segment_batch(corpus, b, cfg)):
+                for k, seg in enumerate(_segment_batch(
+                        corpus, b, cfg, process_index, process_count)):
                     if k < remaining:
                         continue
                     yield seg

@@ -1,9 +1,13 @@
-"""Host→device prefetch: background producer + ahead-of-time device_put.
+"""Host→device prefetch: background producer + ahead-of-time staging.
 
 The reference's Fuel pipeline is synchronous in-process Python — a known
 bottleneck (SURVEY.md §3.1). Here a daemon thread stages the next
 `depth` batches onto the device (with an explicit sharding for the DP
 mesh) while the current step runs, so the TPU never waits on the host.
+
+Staging goes through `parallel.staging.stage_local`: plain device_put on
+one process; `jax.make_array_from_process_local_data` on a multi-host
+slice, where each process's stream yields only its local rows.
 """
 
 from __future__ import annotations
@@ -14,6 +18,8 @@ from typing import Iterator, Optional
 
 import jax
 
+from parrot_tpu.parallel.staging import stage_local
+
 
 _SENTINEL = object()
 
@@ -22,9 +28,10 @@ def device_prefetch(it: Iterator, depth: int = 2,
                     sharding: Optional[jax.sharding.Sharding] = None) -> Iterator:
     """Wrap a host-batch iterator with a depth-`depth` device prefetcher.
 
-    Each item (any pytree of numpy arrays) is jax.device_put ahead of
-    time — with `sharding` when given, so batches land already sharded
-    across the DP mesh axis (no gather on first use).
+    Each item (any pytree of numpy arrays) is staged ahead of time —
+    with `sharding` (a matching pytree of shardings) when given, so
+    batches land already sharded across the DP mesh axis (no gather on
+    first use). On multi-host, items must be this process's local rows.
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     err: list = []
@@ -43,7 +50,7 @@ def device_prefetch(it: Iterator, depth: int = 2,
         try:
             for item in it:
                 if sharding is not None:
-                    item = jax.device_put(item, sharding)
+                    item = stage_local(item, sharding)
                 else:
                     item = jax.device_put(item)
                 if not _put(item):

@@ -28,6 +28,7 @@ from parrot_tpu.data import H5Corpus, parrot_stream, device_prefetch
 from parrot_tpu.models import Parrot
 from parrot_tpu.parallel import (make_mesh, batch_sharding, replicated,
                                  state_sharding)
+from parrot_tpu.parallel.staging import stage_global, stage_local
 from parrot_tpu.train.checkpoint import CheckpointManager
 from parrot_tpu.train.optim import adam_init, adam_update
 from parrot_tpu.utils.logging import MetricsLogger
@@ -89,6 +90,13 @@ class Trainer:
                                        cfg.data.max_text_len)
         self._state_sh = state_sharding(self.mesh, st_tpl)
         self._repl_tree = lambda t: jax.tree.map(lambda _: self._repl, t)
+        # stage params/opt state as global replicated arrays up front —
+        # on multi-host, jit inputs must be global jax.Arrays
+        self.params = stage_local(jax.tree.map(np.asarray, self.params),
+                                  self._repl_tree(self.params))
+        self.opt_state = stage_local(
+            jax.tree.map(np.asarray, self.opt_state),
+            self._repl_tree(self.opt_state))
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -134,7 +142,7 @@ class Trainer:
     def _fresh_state(self):
         st = self.model.init_state(self.cfg.data.batch_size,
                                    self.cfg.data.max_text_len)
-        return jax.device_put(st, self._state_sh)
+        return stage_global(st, self._state_sh)
 
     def resume(self) -> bool:
         """Pick up the latest checkpoint if one exists. Restores params,
@@ -153,13 +161,17 @@ class Trainer:
         if got is None:
             return False
         self.step, trees, meta = got
-        self.params = jax.device_put(trees["params"])
-        self.opt_state = jax.device_put(trees["opt_state"])
+        # every process restores the same full host trees; staging makes
+        # them global arrays (replicated params, data-sharded dstate)
+        self.params = stage_local(trees["params"],
+                                  self._repl_tree(trees["params"]))
+        self.opt_state = stage_local(trees["opt_state"],
+                                     self._repl_tree(trees["opt_state"]))
         self.norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
         if "dstate" in trees:
             from parrot_tpu.models import DecoderState
             d = trees["dstate"]
-            self._dstate = jax.device_put(
+            self._dstate = stage_global(
                 DecoderState(hs=tuple((h, c) for h, c in d.hs),
                              kappa=d.kappa, w=d.w, enc=d.enc,
                              x_last=d.x_last), self._state_sh)
@@ -174,7 +186,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def evaluate(self, max_batches: Optional[int] = None) -> float:
         stream = parrot_stream(self.corpus, self.cfg.data, "valid",
-                               training=False, epochs=1)
+                               training=False, epochs=1,
+                               process_index=jax.process_index(),
+                               process_count=jax.process_count())
         dstate = self._fresh_state()
         tot, frames = 0.0, 0.0
         for i, batch in enumerate(device_prefetch(
@@ -189,9 +203,11 @@ class Trainer:
 
     def _batch_sh(self):
         if not hasattr(self, "_cached_batch_sh"):
-            # build once from a probe batch
-            probe = next(iter(parrot_stream(self.corpus, self.cfg.data,
-                                            "train", epochs=1)))
+            # build once from a probe batch (local rows; only ndim matters)
+            probe = next(iter(parrot_stream(
+                self.corpus, self.cfg.data, "train", epochs=1,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())))
             self._cached_batch_sh = batch_sharding(self.mesh, probe)
         return self._cached_batch_sh
 
@@ -222,7 +238,9 @@ class Trainer:
         # cheap bookkeeping and skip materializing the batches)
         stream = parrot_stream(self.corpus, self.cfg.data, "train",
                                training=True, epochs=None,
-                               skip_segments=self._segments_done)
+                               skip_segments=self._segments_done,
+                               process_index=jax.process_index(),
+                               process_count=jax.process_count())
         it = device_prefetch(iter(stream), depth=self.cfg.data.prefetch,
                              sharding=self._batch_sh())
         t_last = time.time()
@@ -310,6 +328,8 @@ class Trainer:
     def _dump_alignment(self):
         """Save an attention-alignment plot from one teacher-forced valid
         batch (Blocks-era monitoring; SURVEY.md §5 observability)."""
+        if jax.process_count() > 1:
+            return  # host-local probe path; not worth a collective program
         import os
 
         import numpy as np
@@ -337,10 +357,17 @@ class Trainer:
             dstate = self._dstate
             if jax.process_count() > 1:
                 # dstate is sharded along the data axis across hosts;
-                # device_get on non-addressable shards would raise
+                # device_get on non-addressable shards would raise.
+                # tiled=True concatenates the per-process row blocks back
+                # into the global (B, ...) layout the resume template
+                # expects (a tiled=False gather would prepend a process
+                # axis and break restore).
                 from jax.experimental import multihost_utils
-                dstate = multihost_utils.process_allgather(dstate)
+                dstate = multihost_utils.process_allgather(dstate,
+                                                           tiled=True)
             trees["dstate"] = dstate
+        if jax.process_index() != 0:
+            return  # every process joins the gather; one writes the file
         self.ckpt.save(self.step, trees,
                        meta={"config": self.cfg.to_json(),
                              "best_valid": self.best_valid,

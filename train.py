@@ -21,10 +21,18 @@ def main(argv=None):
     # multi-host pod-slice training (BASELINE.json:11): each host runs this
     # same script; JAX wires the hosts into one device mesh. Activated by
     # the standard cluster env (or explicit JAX_COORDINATOR_ADDRESS).
+    # On managed clusters (SLURM/GKE) num_processes/process_id are
+    # auto-detected; elsewhere pass them via JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID (the multi-host CI test uses this to form a
+    # 2-process CPU cluster).
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
             os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         import jax
-        jax.distributed.initialize()
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kw)
 
     cfg, args = train_parse(argv)
     path = resolve_corpus_path(cfg)
