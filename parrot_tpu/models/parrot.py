@@ -249,13 +249,16 @@ class Parrot:
         return loss, new_state, metrics
 
     def scan_decoder(self, params, state: DecoderState, x_in, mask,
-                     text_mask, spk=None):
+                     text_mask, spk=None, with_intermediates: bool = False):
         """Run the decoder over a teacher-forced segment.
 
         x_in: (T, B, D) normalized teacher-forced inputs (frame t-1 at
         position t); mask: (T, B); spk: (B, S) speaker vectors or None
         (folded into the hoisted gate projections). Returns
         (raw head outputs (T, B, head_dim), new_state, phis (T, B, U)).
+        with_intermediates=True appends a dict of named per-step
+        activations (feats = [h_1..h_L, w_t] concat, readouts) for the
+        checkpoint-parity diff harness (train/parity.py).
         """
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -304,6 +307,9 @@ class Parrot:
         raw = Linear.apply(params["head"], readouts, dt)
         new_state = DecoderState(hs=hs, kappa=kappa, w=w, enc=enc,
                                  x_last=state.x_last)
+        if with_intermediates:
+            return raw, new_state, phis, {"feats": feats,
+                                          "readouts": readouts}
         return raw, new_state, phis
 
     # ------------------------------------------------------------------
