@@ -121,8 +121,21 @@ def _uniform(shape):
 
 def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
                  min_log_sigma, is_gmm, layer_norm=False,
-                 stop_threshold=1.0, debug_mode=0):
-    """Returns the kernel body. Shapes, depth and LN are static."""
+                 stop_threshold=1.0, debug_mode=0, emit_attention=False,
+                 inject_uniforms=False):
+    """Returns the kernel body. Shapes, depth and LN are static.
+
+    emit_attention=True adds an (C, B, 2K) output of per-step (alpha,
+    beta); with the kappa trajectory this lets phi — and so the
+    attention-alignment plots — be reconstructed OUTSIDE the kernel
+    (2K floats/step instead of streaming the (B, U) phi itself).
+
+    inject_uniforms=True replaces the TPU PRNG with a (C, B, M+2D)
+    uniform input block per chunk — a TEST hook: the TPU interpreter
+    stubs prng_random_bits to zeros on CPU, so distribution tests of
+    the sampling plumbing (Gumbel-max, selection matmuls, Box-Muller,
+    bias transform) inject host uniforms instead; the hardware PRNG
+    itself is covered on-chip by scripts/tpu_checks.py."""
 
     def kernel(*refs):
         i = 0
@@ -140,8 +153,14 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
             layers.append((wx_x, wx_w, wx_h, wh, bi, ln))
         wattn, battn, wread, bread, whead, bhead = refs[i:i + 6]; i += 6
         enc, mask = refs[i:i + 2]; i += 2
+        un_ref = None
+        if inject_uniforms:
+            un_ref = refs[i]; i += 1
         init = refs[i:i + 2 * L + 3]; i += 2 * L + 3
-        frames_out, kappa_out = refs[i:i + 2]; i += 2
+        n_out = 3 if emit_attention else 2
+        outs = refs[i:i + n_out]; i += n_out
+        frames_out, kappa_out = outs[0], outs[1]
+        ab_out = outs[2] if emit_attention else None
         scratch = refs[i:i + 2 * L + 3]; i += 2 * L + 3
         done_s = refs[i]
         hs = [(scratch[2 * l], scratch[2 * l + 1]) for l in range(L)]
@@ -161,8 +180,10 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
         def _skip():
             frames_out[:] = jnp.zeros_like(frames_out)
             kappa_out[:] = jnp.zeros_like(kappa_out)
+            if ab_out is not None:
+                ab_out[:] = jnp.zeros_like(ab_out)
 
-        if is_gmm and debug_mode != 2:
+        if is_gmm and debug_mode != 2 and not inject_uniforms:
             pltpu.prng_seed(seed_ref[0] + chunk)
 
         f32 = jnp.float32
@@ -245,11 +266,14 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
                 mu_flat = raw[:, :MD]                           # (B, M*D)
                 ls_flat = jnp.maximum(raw[:, MD:2 * MD], min_log_sigma)
                 logits = raw[:, 2 * MD:] * (1.0 + bias)         # (B, M)
+                if inject_uniforms:
+                    un_t = un_ref[pl.ds(c, 1)][0]           # (B, M+2D)
                 # Gumbel-max categorical
                 if debug_mode == 2:
                     comp = jnp.zeros((B,), jnp.int32)
                 else:
-                    gu = _uniform((B, M))
+                    gu = (un_t[:, :M] if inject_uniforms
+                          else _uniform((B, M)))
                     comp = jnp.argmax(logits - jnp.log(-jnp.log(gu)),
                                       axis=-1)
                 col = jax.lax.broadcasted_iota(jnp.int32, (B, MD), 1) // D
@@ -270,8 +294,12 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
                         2.0 * np.pi * u2)
                     x_new = raw[:, :D] + 0.0 * z
                 else:
-                    u1 = _uniform((B, D))
-                    u2 = _uniform((B, D))
+                    if inject_uniforms:
+                        u1 = un_t[:, M:M + D]
+                        u2 = un_t[:, M + D:]
+                    else:
+                        u1 = _uniform((B, D))
+                        u2 = _uniform((B, D))
                     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                         2.0 * np.pi * u2)
                     x_new = mu_c + jnp.exp(ls_c - bias) * z
@@ -281,6 +309,9 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
             x_s[:] = x_new
             frames_out[pl.ds(c, 1)] = x_new[None]
             kappa_out[pl.ds(c, 1)] = kappa[None]
+            if ab_out is not None:
+                ab_out[pl.ds(c, 1)] = jnp.concatenate([alpha, beta],
+                                                      axis=-1)[None]
             return 0
 
         @pl.when(jnp.logical_not(all_done))
@@ -301,18 +332,22 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
     static_argnames=("T", "D", "E", "H", "K", "M", "L", "head_dim",
                      "alignment", "bias", "min_log_sigma", "is_gmm",
                      "layer_norm", "interpret", "debug_mode", "chunk_steps",
-                     "stop_threshold"))
-def fused_decode(kp, enc, mask, init_state, seed,
+                     "stop_threshold", "emit_attention"))
+def fused_decode(kp, enc, mask, init_state, seed, uniforms=None,
                  *, T, D, E, H, K, M, L=3, head_dim=None, alignment=1.0,
                  bias=0.0, min_log_sigma=-7.0, is_gmm=True,
                  layer_norm=False, interpret=False,
-                 debug_mode=0, chunk_steps=16, stop_threshold=1.0):
+                 debug_mode=0, chunk_steps=16, stop_threshold=1.0,
+                 emit_attention=False):
     """Run T fused autoregressive steps.
 
     kp: flat weight tuple from prepare_params; enc (B, U, E) f32; mask
     (B, U) f32; init_state: flat tuple from flatten_state (or the legacy
     (h1,c1,...,kappa,w,x) layout); seed: int32 (1,).
-    Returns (frames (T, B, D), kappas (T, B, K)).
+    Returns (frames (T, B, D), kappas (T, B, K)); with
+    emit_attention=True also (alphas_betas (T, B, 2K)) for phi
+    reconstruction via `reconstruct_phi` (attention plots from the
+    fused serving path).
     """
     B, U, _ = enc.shape
     C = chunk_steps
@@ -321,16 +356,25 @@ def fused_decode(kp, enc, mask, init_state, seed,
     assert len(kp) == want_nw, \
         f"weight tuple has {len(kp)} arrays, expected {want_nw}"
     assert len(init_state) == 2 * L + 3
+    inject = uniforms is not None
+    if inject:
+        assert uniforms.shape == (T, B, M + 2 * D), uniforms.shape
     kernel = _make_kernel(B=B, D=D, E=E, H=H, K=K, M=M, U=U, C=C, L=L,
                           alignment=alignment, bias=bias,
                           min_log_sigma=min_log_sigma, is_gmm=is_gmm,
                           layer_norm=layer_norm,
                           stop_threshold=stop_threshold,
-                          debug_mode=debug_mode)
+                          debug_mode=debug_mode,
+                          emit_attention=emit_attention,
+                          inject_uniforms=inject)
 
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [vm() for _ in range(len(kp))]            # weights/biases
     in_specs += [vm(), vm()]                             # enc, mask
+    if inject:                                           # per-chunk block
+        in_specs.append(pl.BlockSpec((C, B, M + 2 * D),
+                                     lambda t, seed: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
     in_specs += [vm() for _ in range(2 * L + 3)]         # init state
 
     state_scratch = []
@@ -342,37 +386,68 @@ def fused_decode(kp, enc, mask, init_state, seed,
                       pltpu.VMEM((B, D), jnp.float32)]       # x
     state_scratch.append(pltpu.SMEM((1,), jnp.int32))        # all-done
 
+    out_specs = [
+        pl.BlockSpec((C, B, D), lambda t, seed: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, B, K), lambda t, seed: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, D), jnp.float32),
+        jax.ShapeDtypeStruct((T, B, K), jnp.float32),
+    ]
+    if emit_attention:
+        out_specs.append(pl.BlockSpec((C, B, 2 * K),
+                                      lambda t, seed: (t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, B, 2 * K), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // C,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((C, B, D), lambda t, seed: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, B, K), lambda t, seed: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=state_scratch,
     )
 
-    frames, kappas = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, D), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, K), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",),  # sequential steps: state
                                                  # carries across the grid
         ),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32),
-      *kp,
-      # enc rides at the serving weight dtype: bf16 halves the largest
-      # VMEM-resident block (B, U, E), raising the max batch the kernel
-      # fits; the context matmul accumulates in f32 either way
-      enc.astype(kp[0].dtype), mask.astype(jnp.float32),
-      *[s.astype(jnp.float32) for s in init_state])
-    return frames, kappas
+    )
+    args = [jnp.asarray(seed, jnp.int32),
+            *kp,
+            # enc rides at the serving weight dtype: bf16 halves the
+            # largest VMEM-resident block (B, U, E), raising the max
+            # batch the kernel fits; the context matmul accumulates in
+            # f32 either way
+            enc.astype(kp[0].dtype), mask.astype(jnp.float32)]
+    if inject:
+        args.append(uniforms.astype(jnp.float32))
+    args += [s.astype(jnp.float32) for s in init_state]
+    return tuple(call(*args))
+
+
+def reconstruct_phi(kappas, alphas_betas, mask):
+    """Rebuild the window weights phi outside the kernel.
+
+    kappas (T, B, K), alphas_betas (T, B, 2K) from fused_decode with
+    emit_attention=True, mask (B, U). Returns phi (T, B, U) — the same
+    quantity the kernel used for its context (phi = sum_k alpha_k *
+    exp(-beta_k (kappa_k - u)^2), masked). Cost: T*B*U*K mults, tiny
+    next to generation itself; jit-friendly (pure einsum/broadcast).
+    """
+    K = kappas.shape[-1]
+    alpha = alphas_betas[..., :K]                        # (T, B, K)
+    beta = alphas_betas[..., K:]
+    u = jnp.arange(mask.shape[-1], dtype=jnp.float32)    # (U,)
+    diff = kappas[..., None] - u                         # (T, B, K, U)
+    phi = jnp.sum(alpha[..., None] * jnp.exp(-beta[..., None] * diff * diff),
+                  axis=2)                                # (T, B, U)
+    return phi * mask[None]

@@ -13,6 +13,7 @@ sampling per BASELINE.json:9; inference batches are length-bucketed
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -85,28 +86,36 @@ class Sampler:
 
     # ------------------------------------------------------------------
     def generate(self, text, text_mask, speaker=None, key=None,
-                 max_steps: Optional[int] = None, return_phis: bool = True):
+                 max_steps: Optional[int] = None, return_phis: bool = True,
+                 use_fused: Optional[bool] = None):
         """text: (B, U) int32; returns (frames (B, T, D) raw, lengths (B,),
-        phis (B, T, U) or None).
+        phis (B, T, U) or None). `use_fused` overrides
+        cfg.use_fused_kernel (False forces the reference while_loop
+        path, e.g. for parity checks).
 
-        With `return_phis=False` and `cfg.use_fused_kernel` on a TPU
-        backend, generation runs through the Pallas fused decode kernel
-        (parrot_tpu.ops.fused_decode) — the fast serving path. The plain
-        lax.while_loop path is the reference implementation and the only
-        one that materializes attention weights for plots.
+        With `cfg.use_fused_kernel` on a TPU backend, generation runs
+        through the Pallas fused decode kernel
+        (parrot_tpu.ops.fused_decode) — the fast serving path. With
+        `return_phis=True` the kernel additionally emits per-step
+        (alpha, beta) (2K floats/step) and phi is reconstructed outside
+        the kernel, so attention plots no longer force the slow path.
+        The plain lax.while_loop path remains the reference
+        implementation.
         """
         if key is None:
             key = jax.random.PRNGKey(self.cfg.seed)
         if speaker is None:
             speaker = jnp.zeros((text.shape[0],), jnp.int32)
         ms = int(max_steps if max_steps is not None else self.cfg.max_steps)
-        use_fused = (self.cfg.use_fused_kernel and not return_phis
+        want_fused = (self.cfg.use_fused_kernel if use_fused is None
+                      else use_fused)
+        use_fused = (want_fused
                      and not getattr(self, "_fused_broken", False)
                      and jax.default_backend() != "cpu")
         if use_fused:
             try:
                 return self._generate_fused(text, text_mask, speaker, key,
-                                            ms)
+                                            ms, return_phis=return_phis)
             except Exception as e:
                 # e.g. VMEM overflow on a model too large for the kernel:
                 # remember and fall back to the reference while_loop path
@@ -118,9 +127,11 @@ class Sampler:
                          jnp.asarray(speaker), key, max_steps=ms)
 
     # ------------------------------------------------------------------
-    def _generate_fused(self, text, text_mask, speaker, key, max_steps):
+    def _generate_fused(self, text, text_mask, speaker, key, max_steps,
+                        return_phis=False):
         """Pallas fused-kernel generation (fixed step count, host-side
-        stop detection from the kappa trajectory)."""
+        stop detection from the kappa trajectory). return_phis=True adds
+        the (alpha, beta) kernel output and reconstructs phi outside."""
         from parrot_tpu.ops.fused_decode import (fused_decode,
                                                   prepare_params,
                                                   flatten_state)
@@ -155,7 +166,7 @@ class Sampler:
             self._fused_pre = jax.jit(pre)
         enc, kp, seed, init = self._fused_pre(self.params, text, text_mask,
                                               speaker, key)
-        frames, kappas = fused_decode(
+        outs = fused_decode(
             kp, enc, text_mask, init, seed,
             T=T, D=model.D, E=model.E, H=model.H, K=model.K,
             M=model.cfg.num_mixtures, L=model.L,
@@ -163,18 +174,23 @@ class Sampler:
             bias=cfg.sampling_bias, min_log_sigma=model.cfg.min_log_sigma,
             is_gmm=(model.cfg.which_cost == "GMM"),
             layer_norm=model.cfg.layer_norm, chunk_steps=CHUNK,
-            stop_threshold=cfg.stop_threshold)
+            stop_threshold=cfg.stop_threshold,
+            emit_attention=return_phis)
+        frames, kappas = outs[0], outs[1]
+        ab = outs[2] if return_phis else None
 
-        frames, lengths = self._finalize_fused(frames, kappas, text_mask,
-                                               max_steps)
-        return frames, lengths, None
+        frames, lengths, phis = self._finalize_fused(
+            frames, kappas, text_mask, max_steps, ab)
+        return frames, lengths, phis
 
-    def _finalize_fused(self, frames, kappas, text_mask, max_steps):
+    def _finalize_fused(self, frames, kappas, text_mask, max_steps,
+                        alphas_betas=None):
         if not hasattr(self, "_fused_post"):
             norm, thr = self.norm, self.cfg.stop_threshold
 
-            @jax.jit
-            def post(frames, kappas, text_mask):
+            @functools.partial(jax.jit, static_argnames=("with_phi",))
+            def post(frames, kappas, text_mask, alphas_betas,
+                     with_phi: bool):
                 T = frames.shape[0]
                 text_lengths = text_mask.sum(-1)             # (B,)
                 # one stop criterion for both serving paths
@@ -188,11 +204,23 @@ class Sampler:
                 live = (t_idx < lengths[None, :]).astype(
                     frames.dtype)[:, :, None]
                 raw = (frames * live) * norm["std"] + norm["mean"]
-                return raw.transpose(1, 0, 2), lengths
+                phis = None
+                if with_phi:
+                    from parrot_tpu.ops.fused_decode import reconstruct_phi
+                    phis = reconstruct_phi(kappas, alphas_betas, text_mask)
+                    phis = (phis * live).transpose(1, 0, 2)  # (B, T, U)
+                return raw.transpose(1, 0, 2), lengths, phis
 
             self._fused_post = post
-        raw, lengths = self._fused_post(frames, kappas, text_mask)
-        return raw[:, :max_steps], jnp.minimum(lengths, max_steps)
+        with_phi = alphas_betas is not None
+        if not with_phi:  # jit needs a concrete placeholder argument
+            alphas_betas = jnp.zeros((frames.shape[0], frames.shape[1], 2),
+                                     jnp.float32)
+        raw, lengths, phis = self._fused_post(frames, kappas, text_mask,
+                                              alphas_betas, with_phi)
+        if phis is not None:
+            phis = phis[:, :max_steps]
+        return raw[:, :max_steps], jnp.minimum(lengths, max_steps), phis
 
 
 def bucket_by_length(texts: Sequence[np.ndarray],

@@ -91,8 +91,9 @@ def generate_parse(argv=None):
     p.add_argument("--split", default="valid", choices=["valid", "train"],
                    help="which corpus split to draw utterances from")
     p.add_argument("--no_plots", action="store_true",
-                   help="skip attention/feature plots; enables the fused "
-                        "Pallas serving path")
+                   help="skip attention/feature plots (plots no longer "
+                        "disable the fused serving path: the kernel emits "
+                        "(alpha, beta) and phi is reconstructed outside)")
     p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
     cfg = _build_config(args, train_keys=["model_name", "save_dir"])

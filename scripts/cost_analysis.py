@@ -1,9 +1,18 @@
 #!/usr/bin/env python
-"""Per-step compiled cost analysis (SURVEY.md §5 "Tracing/profiling":
-per-kernel cost via cost_analysis): FLOPs, bytes accessed, and arithmetic
-intensity of the jitted train step at a given configuration.
+"""Per-step compiled cost analysis + measured roofline (SURVEY.md §5
+"Tracing/profiling"; §6 perf accountability): FLOPs, bytes accessed,
+arithmetic intensity of the jitted train step — and with --measure, the
+achieved FLOPs/s vs peak (MFU) and achieved HBM bytes/s on the real
+chip, so "is the train step actually good?" has a number.
 
   python scripts/cost_analysis.py [--batch_size 32] [--seq_size 50] [--cpu]
+  python scripts/cost_analysis.py --measure [--reps 20]
+
+Peak defaults are TPU v5e (v5 lite): 197 TFLOP/s bf16 MXU peak and
+819 GB/s HBM — override with --peak_tflops/--peak_hbm_gbps on other
+parts. MFU here uses the bf16 peak even for f32 runs (the v5e MXU
+executes f32 matmuls as multi-pass bf16, so bf16 peak is the honest
+denominator).
 """
 
 import argparse
@@ -21,6 +30,13 @@ def main():
     p.add_argument("--max_text_len", type=int, default=128)
     p.add_argument("--cpu", action="store_true",
                    help="analyze the CPU lowering (no TPU needed)")
+    p.add_argument("--measure", action="store_true",
+                   help="time the compiled step and report MFU / HBM-BW "
+                        "utilization (runs on the real backend)")
+    p.add_argument("--reps", type=int, default=20,
+                   help="steps per timing pass (3 passes, median)")
+    p.add_argument("--peak_tflops", type=float, default=197.0)
+    p.add_argument("--peak_hbm_gbps", type=float, default=819.0)
     a = p.parse_args()
 
     import jax

@@ -47,8 +47,9 @@ def main():
         text = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 6)),
                            jnp.int32)
         mask = jnp.ones((4, 6))
-        f_ref, l_ref, _ = s.generate(text, mask, return_phis=True)
-        f_fus, l_fus, _ = s.generate(text, mask, return_phis=False)
+        f_ref, l_ref, p_ref = s.generate(text, mask, return_phis=True,
+                                         use_fused=False)
+        f_fus, l_fus, p_fus = s.generate(text, mask, return_phis=True)
         fell_back = getattr(s, "_fused_broken", False)
         a, b = np.asarray(f_ref), np.asarray(f_fus)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
@@ -57,6 +58,10 @@ def main():
               f"(max rel err {err:.2e}, tol {tol})")
         check(f"{tag}: stop lengths agree",
               np.array_equal(np.asarray(l_ref), np.asarray(l_fus)))
+        pr, pf = np.asarray(p_ref), np.asarray(p_fus)
+        perr = np.abs(pr - pf).max()
+        check(f"{tag}: fused phi (attention plots) parity", perr < tol,
+              f"(max abs err {perr:.2e}, tol {tol})")
 
     tiny = dict(frame_size=7, vocab_size=9, embed_dim=8, encoder_dim=8,
                 rnn_h_dim=16, decoder_layers=3, readouts_dim=16,
@@ -101,6 +106,73 @@ def main():
     d3 = np.diff(np.asarray(f_hi), axis=1).std()
     check("GMM: bias reduces sampling spread", d3 < d0,
           f"(std diff {d0:.3f} -> {d3:.3f})")
+
+    # --- in-kernel GMM sampling DISTRIBUTION with the real TPU PRNG ---
+    # (the CPU tests in tests/test_gmm_distribution.py inject host
+    # uniforms because the TPU interpreter stubs prng_random_bits; this
+    # is the only place the hardware PRNG's statistics are checked)
+    from parrot_tpu.ops.fused_decode import (fused_decode, flatten_state,
+                                             prepare_params)
+    M = 3
+    centers = np.array([-20.0, 0.0, 20.0], np.float32)
+    log_sigma = np.float32(np.log(0.5))
+    logits0 = np.array([0.0, 0.8, -0.4], np.float32)
+    for sampling_bias in (0.0, 1.0):
+        cfg = ModelConfig(frame_size=7, vocab_size=9, embed_dim=8,
+                          encoder_dim=8, rnn_h_dim=16, decoder_layers=2,
+                          readouts_dim=16, attention_mixtures=2,
+                          num_mixtures=M)
+        model = Parrot(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        D = cfg.frame_size
+        raw0 = np.zeros((model.head_dim,), np.float32)
+        raw0[:M * D] = np.repeat(centers, D)
+        raw0[M * D:2 * M * D] = log_sigma
+        raw0[2 * M * D:] = logits0
+        params["head"]["w"] = jnp.zeros_like(params["head"]["w"])
+        params["head"]["b"] = jnp.asarray(raw0)
+        T, B, U = 256, 16, 6
+        rng = np.random.default_rng(0)
+        text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
+        mask = jnp.ones((B, U))
+
+        @jax.jit
+        def pre(params, text, mask):
+            enc = model.encode(params, text, mask)
+            kp = prepare_params(model, params, jnp.zeros((B,), jnp.int32),
+                                B, weight_dtype=jnp.float32)
+            return enc, kp, flatten_state(model.init_state(B, U))
+
+        enc, kp, init = pre(params, text, mask)
+        frames, _ = fused_decode(
+            kp, enc, mask, init, np.array([13], np.int32),
+            T=T, D=D, E=model.E, H=model.H, K=model.K, M=M, L=model.L,
+            bias=sampling_bias, is_gmm=True, chunk_steps=64)
+        samples = np.asarray(frames).reshape(-1, D)
+        probs = np.exp(logits0 * (1.0 + sampling_bias))
+        probs /= probs.sum()
+        sigma_eff = np.exp(log_sigma) * np.exp(-sampling_bias)
+        comp = np.abs(samples.mean(-1, keepdims=True)
+                      - centers).argmin(-1)
+        n = samples.shape[0]
+        ok_freq = ok_mean = ok_std = True
+        detail = []
+        for m in range(M):
+            sel = samples[comp == m]
+            se = np.sqrt(probs[m] * (1 - probs[m]) / n)
+            ok_freq &= abs(sel.shape[0] / n - probs[m]) < 5 * se + 1e-9
+            vals = sel.ravel()
+            ok_mean &= abs(vals.mean() - centers[m]) < \
+                5 * sigma_eff / np.sqrt(vals.size)
+            ok_std &= abs(vals.std() / sigma_eff - 1.0) < \
+                5 / np.sqrt(2 * vals.size) + 0.03
+            detail.append(f"m{m}: p={sel.shape[0] / n:.3f}/{probs[m]:.3f}"
+                          f" mu={vals.mean():+.2f} sd={vals.std():.3f}")
+        tag = f"GMM PRNG stats (bias={sampling_bias})"
+        check(f"{tag}: component frequencies", ok_freq, "; ".join(detail))
+        check(f"{tag}: component means", ok_mean)
+        check(f"{tag}: component stddevs (sigma*e^-b)", ok_std,
+              f"(sigma_eff {sigma_eff:.3f})")
 
     print(f"\n{len(failures)} failures" if failures else "\nALL CHECKS PASS")
     sys.exit(1 if failures else 0)

@@ -162,3 +162,45 @@ def test_fused_layer_norm_matches_sample_step():
     frames, _ = run_fused(model, params, enc, mask, init, 4, chunk=2)
     np.testing.assert_allclose(np.asarray(frames), ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_emit_attention_phi_matches_reference():
+    """emit_attention returns per-step (alpha, beta); phi reconstructed
+    outside the kernel must match the plain-JAX step chain's phi — the
+    fused serving path can then feed generate.py's attention plots
+    (no silent fallback to the while_loop path)."""
+    from parrot_tpu.ops.fused_decode import reconstruct_phi
+
+    cfg, model, params = build("MSE")
+    text, mask, enc, st, init = setup_inputs(model, params)
+    # ragged mask: row 2 has a shorter text -> masking must match too
+    mask = mask.at[2, 4:].set(0.0)
+    enc = model.encode(params, text, mask)
+    init = flatten_state(st._replace(enc=enc))
+    T = 6
+    s = st._replace(enc=enc)
+    ref_phi = []
+    for t in range(T):
+        s, x, phi, raw = model.sample_step(
+            params, s, mask, jnp.zeros((3,), jnp.int32),
+            jax.random.PRNGKey(t))
+        ref_phi.append(np.asarray(phi))
+    ref_phi = np.stack(ref_phi)                       # (T, B, U)
+
+    kp = prepare_params(model, params, jnp.zeros((3,), jnp.int32), 3,
+                        weight_dtype=jnp.float32)
+    frames, kappas, ab = fused_decode(
+        kp, enc, mask, init, np.array([0], np.int32),
+        T=T, D=model.D, E=model.E, H=model.H, K=model.K,
+        M=model.cfg.num_mixtures, L=model.L, is_gmm=False,
+        interpret=True, chunk_steps=3, emit_attention=True)
+    got_phi = np.asarray(reconstruct_phi(kappas, ab, mask))
+    np.testing.assert_allclose(got_phi, ref_phi, rtol=1e-5, atol=1e-6)
+    # emit_attention must not perturb the generation itself
+    f_plain, _ = fused_decode(
+        kp, enc, mask, init, np.array([0], np.int32),
+        T=T, D=model.D, E=model.E, H=model.H, K=model.K,
+        M=model.cfg.num_mixtures, L=model.L, is_gmm=False,
+        interpret=True, chunk_steps=3)
+    np.testing.assert_allclose(np.asarray(frames), np.asarray(f_plain),
+                               rtol=1e-6, atol=1e-7)
