@@ -37,6 +37,9 @@ def main():
                    help="steps per timing pass (3 passes, median)")
     p.add_argument("--peak_tflops", type=float, default=197.0)
     p.add_argument("--peak_hbm_gbps", type=float, default=819.0)
+    p.add_argument("--remat", action="store_true",
+                   help="analyze with remat_scan (recompute scan "
+                        "activations in the backward pass)")
     a = p.parse_args()
 
     import jax
@@ -49,7 +52,7 @@ def main():
     from parrot_tpu.models import Parrot
     from parrot_tpu.train.optim import adam_init, adam_update
 
-    cfg = ModelConfig()
+    cfg = ModelConfig(remat_scan=a.remat)
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -81,15 +84,53 @@ def main():
     cost = compiled.cost_analysis()
     flops = cost.get("flops", float("nan"))
     bytes_ = cost.get("bytes accessed", float("nan"))
+    ai = flops / bytes_ if bytes_ else None
     out = {
         "batch_size": B,
         "seq_size": S,
         "flops_per_step": flops,
         "bytes_accessed_per_step": bytes_,
-        "arithmetic_intensity": flops / bytes_ if bytes_ else None,
+        "arithmetic_intensity": ai,
         "flops_per_frame": flops / (B * S),
         "backend": jax.default_backend(),
     }
+
+    if a.measure:
+        import time
+        # the step donates nothing here (donation would invalidate the
+        # reused inputs across reps); timing fences on a host transfer
+        # because block_until_ready is unreliable through the axon
+        # tunnel (see docs/PERFORMANCE.md methodology)
+        params_d = jax.device_put(params)
+        opt_d = jax.device_put(opt_state)
+        st_d = jax.device_put(dstate)
+        b_d = jax.device_put(batch)
+        fn = jax.jit(train_step)
+        _ = np.asarray(fn(params_d, opt_d, st_d, b_d)[3])  # warm compile
+        times = []
+        for _pass in range(3):
+            t0 = time.time()
+            loss = None
+            for _ in range(a.reps):
+                _p, _o, _s, loss = fn(params_d, opt_d, st_d, b_d)
+            np.asarray(loss)  # fence
+            times.append((time.time() - t0) / a.reps)
+        step_s = sorted(times)[1]  # median of 3 passes
+        peak_flops = a.peak_tflops * 1e12
+        peak_bw = a.peak_hbm_gbps * 1e9
+        ridge = peak_flops / peak_bw
+        out.update({
+            "step_time_s": step_s,
+            "frames_per_sec": B * S / step_s,
+            "achieved_tflops": flops / step_s / 1e12,
+            "mfu": flops / step_s / peak_flops,
+            "achieved_hbm_gbps": bytes_ / step_s / 1e9,
+            "hbm_bw_utilization": bytes_ / step_s / peak_bw,
+            "ridge_intensity_flops_per_byte": ridge,
+            "bound": ("compute" if (ai or 0) > ridge else "memory"),
+            "peak_tflops": a.peak_tflops,
+            "peak_hbm_gbps": a.peak_hbm_gbps,
+        })
     print(json.dumps(out, indent=2))
 
 
