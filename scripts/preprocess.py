@@ -3,13 +3,27 @@
 
 Rebuilds the reference's per-corpus preprocessing scripts (SURVEY.md
 §3.4: wav -> resample -> WORLD analysis -> coded features -> HDF5 +
-normalization stats). Input: a directory of wavs plus a transcript TSV
-with lines `<wav-stem>\t<text>[\t<speaker-id>]`.
+normalization stats; §2.1 per-corpus adapters).
+
+Generic layout — a directory of wavs plus a transcript TSV with lines
+`<wav-stem>\t<text>[\t<speaker-id>]`:
 
   python scripts/preprocess.py --wav_dir wavs/ --transcript meta.tsv \
-      --out data/blizzard.h5
+      --out data/corpus.h5
   # phoneme inputs: the text column holds space-separated phoneme tokens
   python scripts/preprocess.py ... --phonemes
+
+Real-corpus layouts (BASELINE.json configs 1 and 4) need no user glue:
+
+  # VCTK on-disk layout: txt/<speaker>/<utt>.txt + wav48/<speaker>/<utt>.wav
+  # (speaker ids assigned from sorted speaker directory names)
+  python scripts/preprocess.py --corpus vctk --root /data/VCTK-Corpus \
+      --out data/vctk.h5
+
+  # Blizzard / festival layout: a prompts file with `( <id> "text" )`
+  # lines + a flat wav directory (wavs/<id>.wav); single speaker
+  python scripts/preprocess.py --corpus blizzard --root /data/blizzard \
+      --out data/blizzard.h5
 """
 
 import argparse
@@ -64,10 +78,104 @@ def encode_phonemes(s, inventory):
                        if t in inventory], np.int32)
 
 
+def walk_generic(wav_dir, transcript):
+    """TSV transcript: `<wav-stem>\\t<text>[\\t<speaker-id>]` per line;
+    wavs at <wav_dir>/<stem>.wav. Returns ([(wav_path, text, spk)],
+    speaker_names)."""
+    entries = []
+    max_spk = 0
+    for line in open(transcript):
+        parts = line.rstrip("\n").split("\t")
+        if len(parts) < 2:
+            continue
+        stem, text = parts[0], parts[1]
+        spk = int(parts[2]) if len(parts) > 2 else 0
+        max_spk = max(max_spk, spk)
+        entries.append((os.path.join(wav_dir, stem + ".wav"), text, spk))
+    return entries, [str(i) for i in range(max_spk + 1)]
+
+
+def walk_vctk(root):
+    """VCTK-Corpus on-disk layout: per-utterance transcripts at
+    txt/<speaker>/<utt>.txt with wavs at wav48/<speaker>/<utt>.wav
+    (wav16/, wavs/, wav/ also accepted). Integer speaker ids are
+    assigned from the SORTED speaker directory names (p225, p226, ...),
+    recorded in the h5 `speaker_names` attr."""
+    txt_root = os.path.join(root, "txt")
+    if not os.path.isdir(txt_root):
+        sys.exit(f"vctk layout: missing transcript dir {txt_root}")
+    wav_root = None
+    for d in ("wav48", "wav16", "wavs", "wav"):
+        if os.path.isdir(os.path.join(root, d)):
+            wav_root = os.path.join(root, d)
+            break
+    if wav_root is None:
+        sys.exit(f"vctk layout: no wav48/wav16/wavs/wav dir under {root}")
+    speakers = sorted(d for d in os.listdir(txt_root)
+                      if os.path.isdir(os.path.join(txt_root, d)))
+    if not speakers:
+        sys.exit(f"vctk layout: no speaker dirs under {txt_root}")
+    spk_id = {name: i for i, name in enumerate(speakers)}
+    entries = []
+    for name in speakers:
+        for fn in sorted(os.listdir(os.path.join(txt_root, name))):
+            if not fn.endswith(".txt"):
+                continue
+            stem = fn[:-4]
+            wav = os.path.join(wav_root, name, stem + ".wav")
+            if not os.path.exists(wav):
+                continue  # VCTK ships a few transcript-only utterances
+            text = open(os.path.join(txt_root, name, fn)).read().strip()
+            if text:
+                entries.append((wav, text, spk_id[name]))
+    return entries, speakers
+
+
+def walk_blizzard(root):
+    """Blizzard / festival-style layout: a prompts file with
+    `( <id> "text" )` entries plus a flat wav directory. Prompt file:
+    --root/prompts.data|prompts.gui|*.data; wavs: wavs/<id>.wav (wav/
+    also accepted). Single speaker (Blizzard is one voice)."""
+    prompts = None
+    for cand in ("prompts.data", "prompts.gui", "etc/prompts.data"):
+        if os.path.exists(os.path.join(root, cand)):
+            prompts = os.path.join(root, cand)
+            break
+    if prompts is None:
+        data = [f for f in sorted(os.listdir(root)) if f.endswith(".data")]
+        if data:
+            prompts = os.path.join(root, data[0])
+    if prompts is None:
+        sys.exit(f"blizzard layout: no prompts file under {root}")
+    wav_root = None
+    for d in ("wavs", "wav"):
+        if os.path.isdir(os.path.join(root, d)):
+            wav_root = os.path.join(root, d)
+            break
+    if wav_root is None:
+        sys.exit(f"blizzard layout: no wavs/ dir under {root}")
+    entries = []
+    import re
+    pat = re.compile(r'\(\s*(\S+)\s+"(.*?)"\s*\)', re.S)
+    for m in pat.finditer(open(prompts).read()):
+        utt_id, text = m.group(1), " ".join(m.group(2).split())
+        wav = os.path.join(wav_root, utt_id + ".wav")
+        if os.path.exists(wav) and text:
+            entries.append((wav, text, 0))
+    return entries, ["blizzard"]
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--wav_dir", required=True)
-    p.add_argument("--transcript", required=True)
+    p.add_argument("--corpus", choices=["generic", "vctk", "blizzard"],
+                   default="generic",
+                   help="on-disk layout adapter (see module docstring)")
+    p.add_argument("--root", default=None,
+                   help="corpus root for --corpus vctk/blizzard")
+    p.add_argument("--wav_dir", default=None,
+                   help="generic layout: wav directory")
+    p.add_argument("--transcript", default=None,
+                   help="generic layout: TSV transcript")
     p.add_argument("--out", required=True)
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--valid_frac", type=float, default=0.05)
@@ -76,14 +184,18 @@ def main():
                    help="text column holds space-separated phoneme tokens")
     a = p.parse_args()
 
-    entries = []
-    for line in open(a.transcript):
-        parts = line.rstrip("\n").split("\t")
-        if len(parts) < 2:
-            continue
-        stem, text = parts[0], parts[1]
-        spk = int(parts[2]) if len(parts) > 2 else 0
-        entries.append((stem, text, spk))
+    if a.corpus == "generic":
+        if not (a.wav_dir and a.transcript):
+            sys.exit("generic layout needs --wav_dir and --transcript")
+        entries, speaker_names = walk_generic(a.wav_dir, a.transcript)
+    elif a.corpus == "vctk":
+        if not a.root:
+            sys.exit("--corpus vctk needs --root")
+        entries, speaker_names = walk_vctk(a.root)
+    else:
+        if not a.root:
+            sys.exit("--corpus blizzard needs --root")
+        entries, speaker_names = walk_blizzard(a.root)
     if not entries:
         sys.exit("empty transcript")
 
@@ -94,8 +206,7 @@ def main():
         inventory = DEFAULT_CHARSET
 
     features, texts, speakers = [], [], []
-    for i, (stem, text, spk) in enumerate(entries):
-        wav_path = os.path.join(a.wav_dir, stem + ".wav")
+    for i, (wav_path, text, spk) in enumerate(entries):
         x, fs = read_wav(wav_path)
         x = resample(x, fs, a.sample_rate)
         f0, sp, ap = analyze(x, a.sample_rate)
@@ -113,11 +224,12 @@ def main():
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
     write_corpus(a.out, features, texts, speakers,
                  vocab_size=len(inventory) + 1, splits=splits,
-                 num_speakers=max(speakers) + 1,
+                 num_speakers=max(max(speakers) + 1, len(speaker_names)),
                  charset=list(inventory) if a.phonemes else inventory)
     import h5py
     with h5py.File(a.out, "a") as f:
         f.attrs["sample_rate"] = a.sample_rate
+        f.attrs["speaker_names"] = [str(s) for s in speaker_names]
     print(f"wrote {a.out}: {n} utterances, "
           f"{sum(len(f_) for f_ in features)} frames")
 

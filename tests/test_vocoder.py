@@ -235,3 +235,75 @@ def test_analysis_synthesis_robust_to_hostile_input(name, make, fs):
     if name.startswith("fs"):
         v = f0[5:-5]
         assert abs(np.median(v[v > 0]) - 150.0) < 6.0
+
+
+# ---------------------------------------------------------------------------
+# Known-truth ACCURACY bounds (SURVEY.md §7 hard-part #3; VERDICT r1 #7).
+# Unlike the property/roundtrip tests above, these assert numeric error
+# bounds against exactly-known ground truth. Measured on this
+# implementation: F0 RMSE ~3.4 cents, V/UV error ~3.2%, envelope LSD
+# ~0.14 dB — bounds below carry ~3x headroom, so they catch real
+# regressions (a broken DIO candidate picker or CheapTrick smoother
+# blows through them) without being flaky.
+
+def test_f0_rmse_cents_on_pitch_glide():
+    """Gliding pitch 100->200 Hz with exact instantaneous F0: the
+    estimator must track within 10 cents RMSE (25 cents worst frame)."""
+    T = int(FS * 0.8)
+    f0_true_t = np.linspace(100, 200, T)
+    phase = np.cumsum(f0_true_t / FS)
+    pulses = np.diff(np.floor(phase), prepend=0.0)
+    x = lfilter([1.0], [1.0, -1.8 * np.cos(2 * np.pi * 500 / FS), 0.9],
+                pulses)
+    x = x / np.abs(x).max()
+    f0, _, _ = analyze(x, FS)
+    hop = hop_samples(FS)
+    truth = np.interp(np.arange(len(f0)) * hop, np.arange(T), f0_true_t)
+    est, tr = f0[10:-10], truth[10:-10]
+    voiced = est > 0
+    assert voiced.mean() > 0.95  # a glide is fully voiced
+    cents = 1200 * np.log2(est[voiced] / tr[voiced])
+    rmse = np.sqrt((cents ** 2).mean())
+    assert rmse < 10.0, f"F0 RMSE {rmse:.1f} cents"
+    assert np.abs(cents).max() < 25.0, \
+        f"worst frame {np.abs(cents).max():.1f} cents"
+
+
+def test_vuv_error_rate_on_alternating_segments():
+    """voiced | noise | voiced with exact per-frame truth: V/UV decision
+    error rate < 10% (boundary frames +-5 hops excluded)."""
+    x = synth_vowel(f0=130.0, seconds=0.3)
+    noise = 0.05 * np.random.default_rng(0).normal(size=len(x))
+    sig = np.concatenate([x, noise, x])
+    sig = sig / np.abs(sig).max()
+    f0, _, _ = analyze(sig, FS)
+    hop = hop_samples(FS)
+    centers = np.arange(len(f0)) * hop
+    b1, b2 = len(x), 2 * len(x)
+    truth_voiced = (centers < b1) | (centers >= b2)
+    keep = (np.abs(centers - b1) > 5 * hop) & \
+           (np.abs(centers - b2) > 5 * hop)
+    err = (((f0 > 0) != truth_voiced) & keep).sum() / keep.sum()
+    assert err < 0.10, f"V/UV error rate {err:.3f}"
+
+
+def test_envelope_log_spectral_distortion_bound(vowel_analysis):
+    """CheapTrick envelope vs the EXACT all-pole synthesis-filter
+    response (gain-normalized log-spectral distortion per voiced frame):
+    mean < 0.5 dB, p90 < 1.0 dB."""
+    _, (f0, sp, ap) = vowel_analysis
+    F = sp.shape[1]
+    freqs = np.arange(F) * FS / ((F - 1) * 2)
+    w = 2 * np.pi * freqs / FS
+    H = 1.0 / np.abs(1 - 1.8 * np.cos(2 * np.pi * 500 / FS)
+                     * np.exp(-1j * w) + 0.9 * np.exp(-2j * w)) ** 2
+    logH = 10 * np.log10(H + 1e-12)
+    voiced = np.where(f0 > 0)[0][10:-10]
+    lsd = []
+    for i in voiced:
+        d = 10 * np.log10(sp[i] + 1e-12) - logH
+        d = d - d.mean()  # envelope shape, not gain
+        lsd.append(np.sqrt((d ** 2).mean()))
+    assert np.mean(lsd) < 0.5, f"mean LSD {np.mean(lsd):.3f} dB"
+    assert np.percentile(lsd, 90) < 1.0, \
+        f"p90 LSD {np.percentile(lsd, 90):.3f} dB"
