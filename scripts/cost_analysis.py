@@ -40,6 +40,8 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="analyze with remat_scan (recompute scan "
                         "activations in the backward pass)")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     a = p.parse_args()
 
     import jax
@@ -52,7 +54,7 @@ def main():
     from parrot_tpu.models import Parrot
     from parrot_tpu.train.optim import adam_init, adam_update
 
-    cfg = ModelConfig(remat_scan=a.remat)
+    cfg = ModelConfig(remat_scan=a.remat, compute_dtype=a.compute_dtype)
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
