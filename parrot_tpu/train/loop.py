@@ -74,7 +74,8 @@ class Trainer:
                                       cfg.train.model_name,
                                       keep=cfg.train.keep_checkpoints)
         self.log = MetricsLogger(cfg.train.save_dir, cfg.train.model_name,
-                                 quiet=quiet)
+                                 quiet=quiet,
+                                 write_file=(jax.process_index() == 0))
         self._tb = None
         if cfg.train.tensorboard:
             try:

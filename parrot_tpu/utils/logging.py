@@ -15,11 +15,15 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, save_dir: str, model_name: str, quiet: bool = False):
+    def __init__(self, save_dir: str, model_name: str, quiet: bool = False,
+                 write_file: bool = True):
+        """write_file=False keeps stdout mirroring but skips the JSONL —
+        used by multi-host processes > 0 so concurrent appends from a
+        shared filesystem can't interleave records."""
         root = os.path.join(save_dir, model_name)
         os.makedirs(root, exist_ok=True)
         self.path = os.path.join(root, "metrics.jsonl")
-        self._f = open(self.path, "a", buffering=1)
+        self._f = open(self.path, "a", buffering=1) if write_file else None
         self.quiet = quiet
         self._t0 = time.time()
 
@@ -31,11 +35,13 @@ class MetricsLogger:
                 rec[k] = float(v)
             except (TypeError, ValueError):
                 rec[k] = v
-        self._f.write(json.dumps(rec) + "\n")
+        if self._f is not None:
+            self._f.write(json.dumps(rec) + "\n")
         if not self.quiet:
             body = " ".join(f"{k}={rec[k]:.5g}" if isinstance(rec[k], float)
                             else f"{k}={rec[k]}" for k in values)
             print(f"[{kind}] step={step} {body}", file=sys.stdout, flush=True)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()

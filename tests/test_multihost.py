@@ -161,3 +161,67 @@ def test_two_process_train_matches_single_process(corpus_path, tmp_path):
             single[k], multi[k], rtol=2e-4, atol=2e-5,
             err_msg=f"checkpoint array {k} diverged between single- and "
                     f"two-process training")
+
+
+def test_two_process_save_resume_matches_uninterrupted(corpus_path,
+                                                       tmp_path):
+    """Train 2 steps on the 2-process cluster, save, then RESUME on a
+    fresh 2-process cluster for 2 more steps — final checkpoint must
+    match a single-process run of all 4 steps. Exercises the multi-host
+    restore staging (stage_local params, stage_global dstate) and the
+    stream fast-forward under per-process sharding."""
+    base_env = dict(os.environ)
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+
+    def flags(save_dir, steps, resume=False):
+        f = _train_flags(corpus_path, save_dir, "m")
+        f[f.index("--num_steps") + 1] = str(steps)
+        return f + (["--resume"] if resume else [])
+
+    def run_cluster(save_dir, steps, resume):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(base_env)
+            xla = " ".join(x for x in env.get("XLA_FLAGS", "").split()
+                           if "device_count" not in x)
+            env["XLA_FLAGS"] = \
+                f"{xla} --xla_force_host_platform_device_count=4".strip()
+            env.update({"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                        "JAX_NUM_PROCESSES": "2",
+                        "JAX_PROCESS_ID": str(pid)})
+            procs.append(subprocess.Popen(
+                [sys.executable, "train.py"] + flags(save_dir, steps,
+                                                     resume),
+                cwd=REPO, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            assert p.returncode == 0, f"trainer failed:\n{out[-3000:]}"
+
+    def run_single(save_dir, steps):
+        env = dict(base_env)
+        xla = " ".join(x for x in env.get("XLA_FLAGS", "").split()
+                       if "device_count" not in x)
+        env["XLA_FLAGS"] = \
+            f"{xla} --xla_force_host_platform_device_count=8".strip()
+        r = subprocess.run(
+            [sys.executable, "train.py"] + flags(save_dir, steps),
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+
+    multi_dir = str(tmp_path / "multi")
+    run_cluster(multi_dir, steps=2, resume=False)
+    run_cluster(multi_dir, steps=4, resume=True)
+    single_dir = str(tmp_path / "single")
+    run_single(single_dir, steps=4)
+
+    single = _load_latest(single_dir, "m")
+    multi = _load_latest(multi_dir, "m")
+    assert set(single) == set(multi)
+    for k in sorted(single):
+        np.testing.assert_allclose(
+            single[k], multi[k], rtol=2e-4, atol=2e-5,
+            err_msg=f"{k} diverged after 2-process save/resume")
