@@ -440,14 +440,17 @@ def reconstruct_phi(kappas, alphas_betas, mask):
     kappas (T, B, K), alphas_betas (T, B, 2K) from fused_decode with
     emit_attention=True, mask (B, U). Returns phi (T, B, U) — the same
     quantity the kernel used for its context (phi = sum_k alpha_k *
-    exp(-beta_k (kappa_k - u)^2), masked). Cost: T*B*U*K mults, tiny
-    next to generation itself; jit-friendly (pure einsum/broadcast).
+    exp(-beta_k (kappa_k - u)^2), masked). Accumulated per mixture
+    component (as the kernel does) so the largest intermediate is the
+    (T, B, U) output itself, not a K-times-larger broadcast — at the
+    serving shape (T=1024, B=256, K=10, U=128) that difference is
+    ~135 MB vs ~1.3 GB if XLA declined to fuse the reduction.
     """
     K = kappas.shape[-1]
-    alpha = alphas_betas[..., :K]                        # (T, B, K)
-    beta = alphas_betas[..., K:]
     u = jnp.arange(mask.shape[-1], dtype=jnp.float32)    # (U,)
-    diff = kappas[..., None] - u                         # (T, B, K, U)
-    phi = jnp.sum(alpha[..., None] * jnp.exp(-beta[..., None] * diff * diff),
-                  axis=2)                                # (T, B, U)
+    phi = jnp.zeros(kappas.shape[:2] + (mask.shape[-1],), jnp.float32)
+    for k in range(K):
+        diff = kappas[..., k:k + 1] - u                  # (T, B, U)
+        phi = phi + alphas_betas[..., k:k + 1] * jnp.exp(
+            -alphas_betas[..., K + k:K + k + 1] * diff * diff)
     return phi * mask[None]

@@ -5,7 +5,6 @@ from parrot_tpu.parallel.mesh import (  # noqa: F401
     state_sharding,
 )
 from parrot_tpu.parallel.staging import (  # noqa: F401
-    local_batch_rows,
     stage_global,
     stage_local,
 )

@@ -81,12 +81,3 @@ def stage_global(tree, shardings):
         return jax.make_array_from_process_local_data(sh, x)
 
     return jax.tree.map(stage_leaf, tree, shardings)
-
-
-def local_batch_rows(global_batch_size: int) -> int:
-    """Rows of the global batch this process's data stream must produce."""
-    pc = jax.process_count()
-    if global_batch_size % pc:
-        raise ValueError(f"batch_size {global_batch_size} not divisible "
-                         f"by {pc} processes")
-    return global_batch_size // pc

@@ -253,7 +253,7 @@ class Trainer:
             for batch in it:
                 if self.step >= target:
                     break
-                if self._interrupted:
+                if self._check_interrupted():
                     self.log.log("preempted", self.step)
                     break
                 if tcfg.profile_steps != (0, 0):
@@ -325,6 +325,21 @@ class Trainer:
         self._save()
         return {"step": self.step, "best_valid": self.best_valid,
                 "interrupted": self._interrupted}
+
+    def _check_interrupted(self) -> bool:
+        """Collective preemption decision. A SIGTERM usually reaches only
+        one host; if that host broke out of the loop alone, its
+        checkpoint allgather would pair with the peers' ongoing
+        train-step collectives (mismatched SPMD programs — a hang or a
+        mixed-step checkpoint). All processes therefore agree on the
+        flag with a tiny allgather every step, so everyone leaves the
+        loop at the same step boundary and enters _save together."""
+        if jax.process_count() == 1:
+            return self._interrupted
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if self._interrupted else 0))
+        return bool(np.max(flags) > 0)
 
     def _dump_alignment(self):
         """Save an attention-alignment plot from one teacher-forced valid

@@ -79,20 +79,25 @@ def encode_phonemes(s, inventory):
 
 
 def walk_generic(wav_dir, transcript):
-    """TSV transcript: `<wav-stem>\\t<text>[\\t<speaker-id>]` per line;
-    wavs at <wav_dir>/<stem>.wav. Returns ([(wav_path, text, spk)],
-    speaker_names)."""
-    entries = []
-    max_spk = 0
+    """TSV transcript: `<wav-stem>\\t<text>[\\t<speaker-key>]` per line;
+    wavs at <wav_dir>/<stem>.wav. Speaker keys may be arbitrary strings
+    or sparse numbers — they are remapped to dense integer ids by sorted
+    key (numeric sort when every key is numeric, so 0/1/2... transcripts
+    keep their ids); the original keys land in the h5 `speaker_names`
+    attr. Returns ([(wav_path, text, spk)], speaker_names)."""
+    raw = []
     for line in open(transcript):
         parts = line.rstrip("\n").split("\t")
         if len(parts) < 2:
             continue
         stem, text = parts[0], parts[1]
-        spk = int(parts[2]) if len(parts) > 2 else 0
-        max_spk = max(max_spk, spk)
-        entries.append((os.path.join(wav_dir, stem + ".wav"), text, spk))
-    return entries, [str(i) for i in range(max_spk + 1)]
+        key = parts[2].strip() if len(parts) > 2 else "0"
+        raw.append((os.path.join(wav_dir, stem + ".wav"), text, key))
+    keys = {k for _, _, k in raw}
+    all_numeric = all(k.lstrip("-").isdigit() for k in keys)
+    names = sorted(keys, key=(int if all_numeric else str))
+    spk_id = {k: i for i, k in enumerate(names)}
+    return [(w, t, spk_id[k]) for w, t, k in raw], names
 
 
 def walk_vctk(root):

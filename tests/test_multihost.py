@@ -225,3 +225,81 @@ def test_two_process_save_resume_matches_uninterrupted(corpus_path,
         np.testing.assert_allclose(
             single[k], multi[k], rtol=2e-4, atol=2e-5,
             err_msg=f"{k} diverged after 2-process save/resume")
+
+
+def test_two_process_preemption_sigterm_one_host(corpus_path, tmp_path):
+    """SIGTERM delivered to ONLY ONE process of a live 2-process cluster:
+    the interrupt decision is collective (Trainer._check_interrupted
+    allgathers the flag every step), so BOTH processes must leave the
+    loop at the same step, write one coherent checkpoint, and exit 0 —
+    then a fresh cluster must resume from it. Without the collective
+    check the un-signalled peer keeps issuing train-step collectives
+    against the signalled one's checkpoint gather and the cluster hangs."""
+    import signal
+    import time
+
+    base_env = dict(os.environ)
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    save_dir = str(tmp_path / "sm")
+
+    def flags(steps, resume=False):
+        f = _train_flags(corpus_path, save_dir, "m")
+        f[f.index("--num_steps") + 1] = str(steps)
+        f[f.index("--eval_every") + 1] = "0"
+        return f + (["--resume"] if resume else [])
+
+    def launch(pid, port, steps, resume=False):
+        env = dict(base_env)
+        xla = " ".join(x for x in env.get("XLA_FLAGS", "").split()
+                       if "device_count" not in x)
+        env["XLA_FLAGS"] = \
+            f"{xla} --xla_force_host_platform_device_count=4".strip()
+        env.update({"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                    "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)})
+        return subprocess.Popen(
+            [sys.executable, "train.py"] + flags(steps, resume),
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+
+    port = _free_port()
+    procs = [launch(0, port, steps=5000), launch(1, port, steps=5000)]
+    # wait until training is demonstrably under way (process 0 logs)
+    metrics = os.path.join(save_dir, "m", "metrics.jsonl")
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if os.path.exists(metrics) and \
+                '"kind": "train"' in open(metrics).read():
+            break
+        if any(p.poll() is not None for p in procs):
+            outs = [p.communicate()[0] for p in procs]
+            raise AssertionError(f"trainer died early:\n{outs[0][-2000:]}"
+                                 f"\n{outs[1][-2000:]}")
+        time.sleep(0.5)
+    else:
+        for p in procs:
+            p.kill()
+        raise AssertionError("training never reached a logged step")
+
+    procs[1].send_signal(signal.SIGTERM)  # NOT the checkpoint writer
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0, f"post-SIGTERM exit:\n{out[-3000:]}"
+
+    ckpt = _load_latest(save_dir, "m")
+    assert any(k.startswith("dstate/") for k in ckpt)
+    root = os.path.join(save_dir, "m")
+    step_dir = open(os.path.join(root, "latest")).read().strip()
+    step = int(step_dir.split("_")[1])
+    assert 0 < step < 5000
+
+    # elastic recovery: fresh cluster resumes and advances
+    port = _free_port()
+    procs = [launch(0, port, steps=step + 3, resume=True),
+             launch(1, port, steps=step + 3, resume=True)]
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        assert p.returncode == 0, f"resume failed:\n{out[-3000:]}"
+    step_dir2 = open(os.path.join(root, "latest")).read().strip()
+    assert int(step_dir2.split("_")[1]) == step + 3

@@ -30,6 +30,10 @@ def main(argv=None):
         import jax
         kw = {}
         if os.environ.get("JAX_NUM_PROCESSES"):
+            if "JAX_PROCESS_ID" not in os.environ:
+                sys.exit("JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is "
+                         "not — every host needs both (0-based id < "
+                         "num_processes)")
             kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
             kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(**kw)
