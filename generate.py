@@ -55,7 +55,15 @@ def main(argv=None):
         ids = [corpus.text(int(i)) for i in chosen]
         speakers = [corpus.speaker(int(i)) for i in chosen]
 
-    sampler = Sampler(model, params, norm, cfg.sample)
+    # multi-chip serving: with several devices visible, the fused kernel
+    # runs one instance per chip (batch rows sharded, weights replicated;
+    # see Sampler.mesh) — throughput scales linearly with chips
+    import jax
+    mesh = None
+    if len(jax.devices()) > 1:
+        from parrot_tpu.parallel import make_mesh
+        mesh = make_mesh()
+    sampler = Sampler(model, params, norm, cfg.sample, mesh=mesh)
     out_dir = os.path.join(cfg.train.save_dir, cfg.train.model_name,
                            args.samples_name)
     os.makedirs(out_dir, exist_ok=True)

@@ -26,11 +26,20 @@ from parrot_tpu.nn.attention import GravesWindow
 
 
 class Sampler:
-    def __init__(self, model: Parrot, params, norm, cfg: SampleConfig):
+    def __init__(self, model: Parrot, params, norm, cfg: SampleConfig,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. When
+        given, the fused serving path runs ONE Pallas kernel PER SHARD
+        under shard_map (batch rows split along 'data', weights
+        replicated) — generation throughput scales with chips, since
+        autoregressive decode needs no cross-chip communication at all.
+        The plain while_loop path handles sharded inputs through jit's
+        normal SPMD partitioning either way."""
         self.model = model
         self.params = params
         self.norm = norm
         self.cfg = cfg
+        self.mesh = mesh
         self._gen = jax.jit(self._generate_impl,
                             static_argnames=("max_steps",))
 
@@ -111,7 +120,8 @@ class Sampler:
                       else use_fused)
         use_fused = (want_fused
                      and not getattr(self, "_fused_broken", False)
-                     and jax.default_backend() != "cpu")
+                     and (jax.default_backend() != "cpu"
+                          or getattr(self, "_force_interpret", False)))
         if use_fused:
             try:
                 return self._generate_fused(text, text_mask, speaker, key,
@@ -131,16 +141,27 @@ class Sampler:
                         return_phis=False):
         """Pallas fused-kernel generation (fixed step count, host-side
         stop detection from the kappa trajectory). return_phis=True adds
-        the (alpha, beta) kernel output and reconstructs phi outside."""
-        from parrot_tpu.ops.fused_decode import (fused_decode,
-                                                  prepare_params,
-                                                  flatten_state)
+        the (alpha, beta) kernel output and reconstructs phi outside.
 
+        With a multi-device `self.mesh`, the whole pipeline (encoder +
+        weight slicing + kernel) runs per shard under shard_map: batch
+        rows split along the 'data' axis, weights replicated, one
+        independent Pallas kernel per chip — decode needs no cross-chip
+        communication, so throughput scales linearly with devices."""
         model, cfg = self.model, self.cfg
         text = jnp.asarray(text)
         text_mask = jnp.asarray(text_mask, jnp.float32)
         speaker = jnp.asarray(speaker)
         B, U = text.shape
+        # sharded serving needs rows divisible by the mesh size; pad the
+        # final ragged bucket with empty rows (mask 0 -> immediate stop)
+        # and slice them back off below
+        n_dev = (self.mesh.devices.size if self.mesh is not None else 1)
+        pad = (-B) % n_dev
+        if pad:
+            text = jnp.pad(text, ((0, pad), (0, 0)))
+            text_mask = jnp.pad(text_mask, ((0, pad), (0, 0)))
+            speaker = jnp.pad(speaker, ((0, pad),))
         # large chunks amortize per-grid-step pipeline overhead; small
         # chunks avoid wasted compute when generations are short (and the
         # early-exit zero-fills any overshoot cheaply)
@@ -148,40 +169,80 @@ class Sampler:
                  64 if max_steps >= 256 else 16)
         T = -(-max_steps // CHUNK) * CHUNK
 
-        # one jitted pre-stage: encoder + weight slicing + seed derivation
-        # (eager op-by-op dispatch is pathologically slow over the TPU
-        # tunnel; see .claude/skills/verify/SKILL.md)
-        if not hasattr(self, "_fused_pre"):
-            wdt = (jnp.bfloat16 if cfg.fused_weight_dtype == "bfloat16"
-                   else jnp.float32)
-
-            def pre(params, text, text_mask, speaker, key):
-                enc = model.encode(params, text, text_mask)
-                kp = prepare_params(model, params, speaker,
-                                    speaker.shape[0], weight_dtype=wdt)
-                seed = jax.random.randint(key, (1,), 0, 2**31 - 1,
-                                          dtype=jnp.int32)
-                st = model.init_state(text.shape[0], text.shape[1])
-                return enc, kp, seed, flatten_state(st)
-            self._fused_pre = jax.jit(pre)
-        enc, kp, seed, init = self._fused_pre(self.params, text, text_mask,
-                                              speaker, key)
-        outs = fused_decode(
-            kp, enc, text_mask, init, seed,
-            T=T, D=model.D, E=model.E, H=model.H, K=model.K,
-            M=model.cfg.num_mixtures, L=model.L,
-            alignment=model.cfg.attention_alignment,
-            bias=cfg.sampling_bias, min_log_sigma=model.cfg.min_log_sigma,
-            is_gmm=(model.cfg.which_cost == "GMM"),
-            layer_norm=model.cfg.layer_norm, chunk_steps=CHUNK,
-            stop_threshold=cfg.stop_threshold,
-            emit_attention=return_phis)
+        run = self._fused_run(T, CHUNK, return_phis)
+        outs = run(self.params, text, text_mask, speaker, key)
         frames, kappas = outs[0], outs[1]
         ab = outs[2] if return_phis else None
 
         frames, lengths, phis = self._finalize_fused(
             frames, kappas, text_mask, max_steps, ab)
+        if pad:
+            frames, lengths = frames[:B], lengths[:B]
+            phis = phis[:B] if phis is not None else None
         return frames, lengths, phis
+
+    def _fused_run(self, T, CHUNK, return_phis):
+        """Build (and cache) the jitted end-to-end fused pipeline for a
+        (T, CHUNK, return_phis) signature, shard_map-wrapped when a
+        multi-device mesh is set. One jitted program covers encoder +
+        weight slicing + kernel: eager op-by-op dispatch is
+        pathologically slow over the TPU tunnel."""
+        cache_key = (T, CHUNK, return_phis)
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        if cache_key in self._fused_cache:
+            return self._fused_cache[cache_key]
+
+        from parrot_tpu.ops.fused_decode import (fused_decode,
+                                                  prepare_params,
+                                                  flatten_state)
+        model, cfg = self.model, self.cfg
+        wdt = (jnp.bfloat16 if cfg.fused_weight_dtype == "bfloat16"
+               else jnp.float32)
+        interpret = getattr(self, "_force_interpret", False)
+        mesh = self.mesh
+        sharded = mesh is not None and mesh.devices.size > 1
+
+        def run(params, text, text_mask, speaker, key):
+            if sharded:
+                # decorrelate each shard's sampling noise
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index("data"))
+            enc = model.encode(params, text, text_mask)
+            kp = prepare_params(model, params, speaker,
+                                speaker.shape[0], weight_dtype=wdt)
+            seed = jax.random.randint(key, (1,), 0, 2**31 - 1,
+                                      dtype=jnp.int32)
+            init = flatten_state(
+                model.init_state(text.shape[0], text.shape[1]))
+            return fused_decode(
+                kp, enc, text_mask, init, seed,
+                T=T, D=model.D, E=model.E, H=model.H, K=model.K,
+                M=model.cfg.num_mixtures, L=model.L,
+                alignment=model.cfg.attention_alignment,
+                bias=cfg.sampling_bias,
+                min_log_sigma=model.cfg.min_log_sigma,
+                is_gmm=(model.cfg.which_cost == "GMM"),
+                layer_norm=model.cfg.layer_norm, chunk_steps=CHUNK,
+                stop_threshold=cfg.stop_threshold,
+                emit_attention=return_phis, interpret=interpret)
+
+        if sharded:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+            out_spec = P(None, "data")  # outputs are (T, B, ...)
+            n_out = 3 if return_phis else 2
+            run = shard_map(
+                run, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P()),
+                out_specs=(out_spec,) * n_out,
+                check_vma=False)
+        fn = jax.jit(run)
+        self._fused_cache[cache_key] = fn
+        return fn
 
     def _finalize_fused(self, frames, kappas, text_mask, max_steps,
                         alphas_betas=None):

@@ -204,3 +204,61 @@ def test_fused_emit_attention_phi_matches_reference():
         interpret=True, chunk_steps=3)
     np.testing.assert_allclose(np.asarray(frames), np.asarray(f_plain),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_fused_sharded_serving_matches_unsharded():
+    """Multi-chip fused serving: one Pallas kernel per shard under
+    shard_map (batch split along 'data', weights replicated) must
+    reproduce the single-kernel result — decode has no cross-chip
+    dependence, so sharding is pure throughput. 8-device CPU mesh,
+    interpret mode, deterministic MSE head, phi included."""
+    from parrot_tpu.config import SampleConfig
+    from parrot_tpu.parallel import make_mesh
+
+    cfg, model, params = build("MSE")
+    B, U = 8, 6
+    rng = np.random.default_rng(3)
+    text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
+    mask = jnp.ones((B, U))
+    # ragged text lengths: per-row stop logic must survive sharding
+    mask = mask.at[5, 4:].set(0.0)
+    norm = {"mean": jnp.zeros((model.D,)), "std": jnp.ones((model.D,))}
+    scfg = SampleConfig(max_steps=16, stop_threshold=1.1)
+
+    def make(mesh):
+        s = Sampler(model, params, norm, scfg, mesh=mesh)
+        s._force_interpret = True
+        return s
+
+    f1, l1, p1 = make(None).generate(text, mask, return_phis=True)
+    f2, l2, p2 = make(make_mesh(8)).generate(text, mask, return_phis=True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_sharded_pads_ragged_batch():
+    """A final length-bucket smaller than the mesh (B=5 on 8 devices)
+    must be padded with empty rows internally and sliced back off."""
+    from parrot_tpu.config import SampleConfig
+    from parrot_tpu.parallel import make_mesh
+
+    cfg, model, params = build("MSE")
+    B, U = 5, 6
+    rng = np.random.default_rng(4)
+    text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
+    mask = jnp.ones((B, U))
+    norm = {"mean": jnp.zeros((model.D,)), "std": jnp.ones((model.D,))}
+    scfg = SampleConfig(max_steps=16, stop_threshold=1.1)
+
+    s0 = Sampler(model, params, norm, scfg)
+    s0._force_interpret = True
+    f1, l1, p1 = s0.generate(text, mask, return_phis=True)
+    s8 = Sampler(model, params, norm, scfg, mesh=make_mesh(8))
+    s8._force_interpret = True
+    f2, l2, p2 = s8.generate(text, mask, return_phis=True)
+    assert f2.shape[0] == B and l2.shape[0] == B and p2.shape[0] == B
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-5, atol=1e-6)
