@@ -287,13 +287,10 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
                 # Box-Muller normal
                 if debug_mode in (1, 2):
                     x_new = mu_c
-                elif debug_mode == 3:
-                    u1 = _uniform((B, D))
-                    u2 = _uniform((B, D))
-                    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-                        2.0 * np.pi * u2)
-                    x_new = raw[:, :D] + 0.0 * z
                 else:
+                    # injected uniforms replace the TPU PRNG everywhere
+                    # (prng_seed is skipped when injecting, so _uniform
+                    # must never run on an unseeded generator)
                     if inject_uniforms:
                         u1 = un_t[:, M:M + D]
                         u2 = un_t[:, M + D:]
@@ -302,7 +299,10 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
                         u2 = _uniform((B, D))
                     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                         2.0 * np.pi * u2)
-                    x_new = mu_c + jnp.exp(ls_c - bias) * z
+                    if debug_mode == 3:  # draws executed, output exact
+                        x_new = raw[:, :D] + 0.0 * z
+                    else:
+                        x_new = mu_c + jnp.exp(ls_c - bias) * z
             else:
                 x_new = raw                                     # MSE head
 

@@ -128,10 +128,13 @@ class Sampler:
                                             ms, return_phis=return_phis)
             except Exception as e:
                 # e.g. VMEM overflow on a model too large for the kernel:
-                # remember and fall back to the reference while_loop path
+                # remember and fall back to the reference while_loop path.
+                # Keep the message: a VMEM overflow is benign, a shape
+                # error is a regression — the operator must see which.
                 self._fused_broken = True
-                print(f"fused decode unavailable ({type(e).__name__}); "
-                      f"falling back to the reference sampler")
+                msg = str(e).replace("\n", " ")[:300]
+                print(f"fused decode unavailable ({type(e).__name__}: "
+                      f"{msg}); falling back to the reference sampler")
         return self._gen(self.params, jnp.asarray(text),
                          jnp.asarray(text_mask, jnp.float32),
                          jnp.asarray(speaker), key, max_steps=ms)
@@ -229,10 +232,7 @@ class Sampler:
 
         if sharded:
             from jax.sharding import PartitionSpec as P
-            try:
-                from jax import shard_map
-            except ImportError:
-                from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             out_spec = P(None, "data")  # outputs are (T, B, ...)
             n_out = 3 if return_phis else 2
             run = shard_map(

@@ -92,12 +92,12 @@ class Trainer:
         self._state_sh = state_sharding(self.mesh, st_tpl)
         self._repl_tree = lambda t: jax.tree.map(lambda _: self._repl, t)
         # stage params/opt state as global replicated arrays up front —
-        # on multi-host, jit inputs must be global jax.Arrays
-        self.params = stage_local(jax.tree.map(np.asarray, self.params),
-                                  self._repl_tree(self.params))
-        self.opt_state = stage_local(
-            jax.tree.map(np.asarray, self.opt_state),
-            self._repl_tree(self.opt_state))
+        # on multi-host, jit inputs must be global jax.Arrays (stage_local
+        # converts to host arrays only on the multi-process branch; the
+        # single-host path is a plain device_put with no host round trip)
+        self.params = stage_local(self.params, self._repl_tree(self.params))
+        self.opt_state = stage_local(self.opt_state,
+                                     self._repl_tree(self.opt_state))
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -326,16 +326,25 @@ class Trainer:
         return {"step": self.step, "best_valid": self.best_valid,
                 "interrupted": self._interrupted}
 
+    # multi-host preemption-poll cadence (steps). The collective check
+    # blocks the host, so running it every step would re-serialize the
+    # pipeline device_prefetch exists to overlap; every 8 steps bounds
+    # the preemption latency to well under any SIGTERM grace period.
+    INTERRUPT_CHECK_EVERY = 8
+
     def _check_interrupted(self) -> bool:
         """Collective preemption decision. A SIGTERM usually reaches only
         one host; if that host broke out of the loop alone, its
         checkpoint allgather would pair with the peers' ongoing
         train-step collectives (mismatched SPMD programs — a hang or a
         mixed-step checkpoint). All processes therefore agree on the
-        flag with a tiny allgather every step, so everyone leaves the
-        loop at the same step boundary and enters _save together."""
+        flag with a tiny allgather at a fixed step cadence (step count
+        is identical on every process, so they all enter the collective
+        together), and everyone leaves the loop at the same boundary."""
         if jax.process_count() == 1:
             return self._interrupted
+        if self.step % self.INTERRUPT_CHECK_EVERY:
+            return False  # off-cadence: no process may exit alone
         from jax.experimental import multihost_utils
         flags = multihost_utils.process_allgather(
             np.int32(1 if self._interrupted else 0))

@@ -190,11 +190,16 @@ def first_divergence(report: Dict[str, Dict[str, float]],
     for name, r in report.items():
         if r["max_abs_err"] <= tol:
             continue
-        if "step_max" in r:
+        if not np.isfinite(r["max_abs_err"]):
+            # structural mismatch (layer absent / wrong shape): report it
+            # only if no GENUINE numeric divergence exists — a real
+            # step-0 error elsewhere is the actionable finding
+            first_step = 10 ** 12
+        elif "step_max" in r:
             bad_steps = np.nonzero(r["step_max"] > tol)[0]
             first_step = int(bad_steps[0]) if bad_steps.size else 10 ** 9
         else:
-            first_step = -1
+            first_step = -1  # pre-decoder stage (embed/enc)
         key = (first_step, _stage_index(name))
         if best is None or key < best[0]:
             best = (key, name)

@@ -107,8 +107,8 @@ def main():
         opt_d = jax.device_put(opt_state)
         st_d = jax.device_put(dstate)
         b_d = jax.device_put(batch)
-        fn = jax.jit(train_step)
-        _ = np.asarray(fn(params_d, opt_d, st_d, b_d)[3])  # warm compile
+        fn = compiled  # the already-built executable; avoid a 2nd compile
+        _ = np.asarray(fn(params_d, opt_d, st_d, b_d)[3])  # warm caches
         times = []
         for _pass in range(3):
             t0 = time.time()

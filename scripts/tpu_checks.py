@@ -114,33 +114,12 @@ def main():
     # Mixture definition + bounds live in tests/gmm_stats.py — one copy.)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "tests"))
-    from gmm_stats import check_mixture_stats, fixed_head_model
-    from parrot_tpu.ops.fused_decode import (fused_decode, flatten_state,
-                                             prepare_params)
+    from gmm_stats import check_mixture_stats, draw_kernel_samples
     for sampling_bias in (0.0, 1.0):
-        cfg, model, params = fixed_head_model()
-        D = cfg.frame_size
-        T, B, U = 256, 16, 6
-        rng = np.random.default_rng(0)
-        text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
-        mask = jnp.ones((B, U))
-
-        @jax.jit
-        def pre(params, text, mask):
-            enc = model.encode(params, text, mask)
-            kp = prepare_params(model, params, jnp.zeros((B,), jnp.int32),
-                                B, weight_dtype=jnp.float32)
-            return enc, kp, flatten_state(model.init_state(B, U))
-
-        enc, kp, init = pre(params, text, mask)
-        frames, _ = fused_decode(
-            kp, enc, mask, init, np.array([13], np.int32),
-            T=T, D=D, E=model.E, H=model.H, K=model.K,
-            M=cfg.num_mixtures, L=model.L,
-            bias=sampling_bias, is_gmm=True, chunk_steps=64)
-        samples = np.asarray(frames).reshape(-1, D)
-        # hardware run: slightly looser 5-sigma bounds (one-off samples,
-        # no reruns on flake)
+        # uniforms=None -> the real hardware PRNG (the one thing the CPU
+        # tests cannot touch); same harness + bounds as the CPU tests,
+        # loosened to 5 sigma (one-off samples, no reruns on flake)
+        samples = draw_kernel_samples(sampling_bias, seed=13)
         ok_freq, ok_mean, ok_std, detail = check_mixture_stats(
             samples, sampling_bias, nsigma=5.0, std_slack=0.03)
         tag = f"GMM PRNG stats (bias={sampling_bias})"

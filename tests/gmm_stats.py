@@ -43,6 +43,42 @@ def fixed_head_model(decoder_layers=2):
     return cfg, model, params
 
 
+def draw_kernel_samples(bias, T=256, B=16, seed=7, uniforms=None,
+                        interpret=False):
+    """Run the fused kernel on a fixed-head model and return the
+    generated frames flattened to (T*B, D) i.i.d. samples.
+
+    uniforms: host-injected (T, B, M+2D) uniforms (CPU interpret runs —
+    the TPU interpreter stubs prng_random_bits); None uses the real
+    hardware PRNG (scripts/tpu_checks.py)."""
+    import jax.numpy as jnp
+    from parrot_tpu.ops.fused_decode import (fused_decode, flatten_state,
+                                             prepare_params)
+
+    cfg, model, params = fixed_head_model()
+    rng = np.random.default_rng(0)
+    U = 6
+    text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
+    mask = jnp.ones((B, U))
+
+    # one jitted pre-stage (eager op-by-op dispatch is pathologically
+    # slow over the axon TPU tunnel)
+    @jax.jit
+    def pre(params, text, mask):
+        enc = model.encode(params, text, mask)
+        kp = prepare_params(model, params, jnp.zeros((B,), jnp.int32), B,
+                            weight_dtype=jnp.float32)
+        return enc, kp, flatten_state(model.init_state(B, U))
+
+    enc, kp, init = pre(params, text, mask)
+    frames, _ = fused_decode(
+        kp, enc, mask, init, np.array([seed], np.int32),
+        None if uniforms is None else jnp.asarray(uniforms),
+        T=T, D=model.D, E=model.E, H=model.H, K=model.K, M=M, L=model.L,
+        bias=bias, is_gmm=True, interpret=interpret, chunk_steps=64)
+    return np.asarray(frames).reshape(-1, model.D)
+
+
 def check_mixture_stats(samples, bias, nsigma=4.0, std_slack=0.02):
     """samples (N, D) drawn under sampling bias `bias`. Returns
     (ok_freq, ok_mean, ok_std, detail): per-component frequencies vs

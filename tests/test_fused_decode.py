@@ -262,3 +262,36 @@ def test_fused_sharded_pads_ragged_batch():
     assert f2.shape[0] == B and l2.shape[0] == B and p2.shape[0] == B
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_sharded_early_stop_matches_unsharded():
+    """Per-row stop logic under sharding, with stops that actually fire:
+    short texts + stop_threshold < 1 make different rows stop at
+    different steps; sharded lengths and frames must match unsharded."""
+    from parrot_tpu.config import SampleConfig
+    from parrot_tpu.parallel import make_mesh
+
+    cfg, model, params = build("MSE")
+    B, U = 8, 8
+    rng = np.random.default_rng(7)
+    text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
+    mask = np.ones((B, U), np.float32)
+    for r in range(B):  # staggered text lengths -> staggered stops
+        mask[r, 2 + (r % 5):] = 0.0
+    mask = jnp.asarray(mask)
+    norm = {"mean": jnp.zeros((model.D,)), "std": jnp.ones((model.D,))}
+    scfg = SampleConfig(max_steps=32, stop_threshold=0.5)
+
+    def make(mesh):
+        s = Sampler(model, params, norm, scfg, mesh=mesh)
+        s._force_interpret = True
+        return s
+
+    f1, l1, _ = make(None).generate(text, mask, return_phis=False)
+    f2, l2, _ = make(make_mesh(8)).generate(text, mask, return_phis=False)
+    l1, l2 = np.asarray(l1), np.asarray(l2)
+    np.testing.assert_array_equal(l1, l2)
+    assert len(set(l1.tolist())) > 1, "stops never staggered: weak test"
+    assert l1.min() < 32, "no row stopped early: weak test"
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-5, atol=1e-6)

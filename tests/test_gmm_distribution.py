@@ -24,37 +24,20 @@ import numpy as np
 import pytest
 
 from gmm_stats import (CENTERS, LOG_SIGMA, LOGITS, M, check_mixture_stats,
-                       fixed_head_model)
+                       draw_kernel_samples)
 from parrot_tpu.nn.mdn import gmm_sample
-from parrot_tpu.ops.fused_decode import (fused_decode, flatten_state,
-                                         prepare_params)
 
 
-def draw_kernel_samples(bias, T=256, B=16, seed=7):
-    cfg, model, params = fixed_head_model()
-    rng = np.random.default_rng(0)
-    U = 6
-    text = jnp.asarray(rng.integers(1, 9, (B, U)), jnp.int32)
-    mask = jnp.ones((B, U))
-    enc = model.encode(params, text, mask)
-    init = flatten_state(model.init_state(B, U))
-    kp = prepare_params(model, params, jnp.zeros((B,), jnp.int32), B,
-                        weight_dtype=jnp.float32)
-    D = model.D
-    uniforms = np.random.default_rng(seed).uniform(
+def _host_uniforms(T=256, B=16, D=7, seed=7):
+    return np.random.default_rng(seed).uniform(
         1e-7, 1.0 - 1e-7, size=(T, B, M + 2 * D)).astype(np.float32)
-    frames, _ = fused_decode(
-        kp, enc, mask, init, np.array([seed], np.int32),
-        jnp.asarray(uniforms),
-        T=T, D=D, E=model.E, H=model.H, K=model.K, M=M, L=model.L,
-        bias=bias, is_gmm=True, interpret=True, chunk_steps=64)
-    return np.asarray(frames).reshape(-1, D)          # (T*B, D) iid
 
 
 @pytest.mark.parametrize("bias", [0.0, 1.0])
 def test_kernel_gmm_sampling_distribution(bias):
-    ok_f, ok_m, ok_s, detail = check_mixture_stats(
-        draw_kernel_samples(bias), bias)
+    samples = draw_kernel_samples(bias, uniforms=_host_uniforms(),
+                                  interpret=True)
+    ok_f, ok_m, ok_s, detail = check_mixture_stats(samples, bias)
     assert ok_f and ok_m and ok_s, f"kernel(bias={bias}): {detail}"
 
 
