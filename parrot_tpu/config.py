@@ -79,6 +79,10 @@ class DataConfig:
     sort_pool_size: int = 20      # batches per sort-by-length pool (bucketing)
     max_text_len: int = 256       # pad/truncate text ids to this length
     normalize: bool = True        # apply global mean/std (on device)
+    norm_stats: str = ""          # optional .npz with mean/std overriding
+                                  # the corpus-embedded stats (the
+                                  # reference's Fuel streams took stats
+                                  # from standalone .npz files)
     prefetch: int = 2             # device prefetch depth (double buffering)
     cache_mb: int = 512           # preload features into RAM if they fit
     shuffle_seed: int = 0

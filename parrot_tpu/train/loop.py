@@ -54,8 +54,20 @@ class Trainer:
                 f"every batch and hang")
         self.model = Parrot(cfg.model)
         if cfg.data.normalize:
-            self.norm = {"mean": jnp.asarray(corpus.mean),
-                         "std": jnp.asarray(corpus.std)}
+            if cfg.data.norm_stats:
+                # reference-style standalone stats file (Fuel's
+                # ScaleAndShift read mean/std from an .npz)
+                with np.load(cfg.data.norm_stats) as z:
+                    mean, std = z["mean"], z["std"]
+                if mean.shape != (cfg.model.frame_size,):
+                    raise ValueError(
+                        f"norm_stats mean shape {mean.shape} != "
+                        f"frame_size ({cfg.model.frame_size},)")
+                self.norm = {"mean": jnp.asarray(mean, jnp.float32),
+                             "std": jnp.asarray(std, jnp.float32)}
+            else:
+                self.norm = {"mean": jnp.asarray(corpus.mean),
+                             "std": jnp.asarray(corpus.std)}
         else:
             D = cfg.model.frame_size
             self.norm = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}

@@ -53,6 +53,10 @@ def train_parse(argv=None) -> ParrotConfig:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--seq_size", type=int, default=None)
     p.add_argument("--max_text_len", type=int, default=None)
+    p.add_argument("--norm_stats", type=str, default=None,
+                   help=".npz with mean/std arrays overriding the "
+                        "corpus-embedded normalization stats (reference "
+                        "Fuel-style stats file)")
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--grad_clip", type=float, default=None)
     p.add_argument("--num_steps", type=int, default=None)
@@ -136,7 +140,7 @@ def _build_config(args, train_keys) -> ParrotConfig:
         "num_speakers", "speaker_dim", "layer_norm",
         "feedback_noise_level", "compute_dtype", "remat_scan"])
     data = overrides(cfg.data, ["dataset", "data_dir", "batch_size",
-                                "seq_size", "max_text_len"])
+                                "seq_size", "max_text_len", "norm_stats"])
     train = overrides(cfg.train, train_keys)
     return ParrotConfig(model=model, data=data, train=train,
                         sample=cfg.sample)

@@ -228,3 +228,33 @@ def test_resume_from_checkpoint_without_dstate(fixture_corpus, tmp_path):
     assert t2.step == 0
     t2.train(num_steps=2)  # trains from the imported weights
     assert t2.step == 2
+
+
+def test_norm_stats_npz_override(tmp_path):
+    """--norm_stats: reference-style standalone .npz mean/std override
+    the corpus-embedded stats (Fuel's ScaleAndShift semantics)."""
+    from parrot_tpu.data import make_fixture_corpus
+    path = str(tmp_path / "c.h5")
+    make_fixture_corpus(path, num_utterances=16, vocab_size=8,
+                        frame_size=6, frames_per_char=2, seed=4)
+    corpus = H5Corpus(path)
+    mean = np.full(6, 2.5, np.float32)
+    std = np.full(6, 0.5, np.float32)
+    stats = str(tmp_path / "stats.npz")
+    np.savez(stats, mean=mean, std=std)
+    cfg = ParrotConfig(
+        model=ModelConfig(frame_size=6, vocab_size=8, embed_dim=4,
+                          encoder_dim=4, rnn_h_dim=8, decoder_layers=2,
+                          readouts_dim=8, attention_mixtures=2,
+                          num_mixtures=2),
+        data=DataConfig(batch_size=8, seq_size=6, max_text_len=12,
+                        norm_stats=stats),
+        train=TrainConfig(save_dir=str(tmp_path / "sm"), model_name="m"))
+    t = Trainer(cfg, corpus, quiet=True)
+    np.testing.assert_array_equal(np.asarray(t.norm["mean"]), mean)
+    np.testing.assert_array_equal(np.asarray(t.norm["std"]), std)
+    # wrong frame size fails loudly, not silently
+    np.savez(stats, mean=np.zeros(5, np.float32),
+             std=np.ones(5, np.float32))
+    with pytest.raises(ValueError, match="norm_stats"):
+        Trainer(cfg, corpus, quiet=True)
