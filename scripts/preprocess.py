@@ -187,6 +187,9 @@ def main():
     p.add_argument("--n_sp", type=int, default=57)
     p.add_argument("--phonemes", action="store_true",
                    help="text column holds space-separated phoneme tokens")
+    p.add_argument("--f0_method", choices=["dio", "harvest"], default="dio",
+                   help="F0 estimator: dio (fast) or harvest (contour "
+                        "Viterbi, fewer V/UV errors)")
     a = p.parse_args()
 
     if a.corpus == "generic":
@@ -214,7 +217,7 @@ def main():
     for i, (wav_path, text, spk) in enumerate(entries):
         x, fs = read_wav(wav_path)
         x = resample(x, fs, a.sample_rate)
-        f0, sp, ap = analyze(x, a.sample_rate)
+        f0, sp, ap = analyze(x, a.sample_rate, f0_method=a.f0_method)
         features.append(code_frames(f0, sp, ap, n_sp=a.n_sp))
         texts.append(encode_phonemes(text, inventory) if a.phonemes
                      else encode_text(text, inventory))
