@@ -78,6 +78,17 @@ def main(argv=None):
             results[i] = (np.asarray(frames[r]), int(lengths[r]),
                           phi, int(mask[r].sum()))
 
+    neural = None
+    if args.neural_vocoder:
+        from parrot_tpu.train.checkpoint import load_vocoder_for_inference
+        try:
+            neural = load_vocoder_for_inference(
+                cfg.train.save_dir, args.neural_vocoder, args.checkpoint)
+            print(f"neural vocoder '{args.neural_vocoder}' loaded "
+                  f"(step={neural[4]})")
+        except (FileNotFoundError, ValueError) as e:
+            sys.exit(str(e))
+
     for i, (frames, length, phi, tlen) in enumerate(results):
         base = os.path.join(out_dir, f"sample_{i}")
         np.save(base + "_frames.npy", frames[:length])
@@ -87,6 +98,44 @@ def main(argv=None):
         wav_path = try_synthesize(base, frames[:length], corpus)
         print(f"sample {i}: {length} frames -> {base}_frames.npy"
               + (f", {wav_path}" if wav_path else ""))
+
+    if neural is not None:
+        neural_synthesize(neural, results, out_dir, corpus,
+                          temperature=args.vocoder_temperature,
+                          seed=cfg.sample.seed)
+
+
+def neural_synthesize(neural, results, out_dir, corpus, temperature=1.0,
+                      seed=0):
+    """SampleRNN synthesis of generated frames -> *_neural.wav.
+
+    One batched call over all samples (frames padded to the longest,
+    masked), so the generation scan compiles once.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.vocoder import write_wav
+
+    model, params, vnorm, vcfg, _ = neural
+    fs = int(corpus._f.attrs.get("sample_rate", vcfg.sample_rate))
+    n = len(results)
+    t_max = max(length for _, length, _, _ in results)
+    D = results[0][0].shape[-1]
+    cond = np.zeros((n, t_max, D), np.float32)
+    mask = np.zeros((n, t_max), np.float32)
+    for i, (frames, length, _, _) in enumerate(results):
+        cond[i, :length] = frames[:length]
+        mask[i, :length] = 1.0
+    _, audio, _ = jax.jit(
+        lambda c, m, k: model.generate(params, vnorm, c, m, k,
+                                       temperature=temperature)
+    )(jnp.asarray(cond), jnp.asarray(mask), jax.random.PRNGKey(seed))
+    audio = np.asarray(audio)
+    for i, (_, length, _, _) in enumerate(results):
+        path = os.path.join(out_dir, f"sample_{i}_neural.wav")
+        write_wav(path, audio[i, :length * vcfg.hop], fs)
+        print(f"sample {i}: neural synthesis -> {path}")
 
 
 def corpus_charset(corpus):

@@ -133,6 +133,43 @@ class SampleConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SampleRNNConfig:
+    """SampleRNN-style neural vocoder (Char2Wav's second half).
+
+    The reference consumes an external SampleRNN repo through the
+    conditioning-feature hook (SURVEY.md §2.3 N3, BASELINE.json:11);
+    here the vocoder itself is native: a frame-tier LSTM over
+    `frame_size`-sample frames conditioned on the attention RNN's
+    vocoder-feature frames, driving a per-sample MLP with a
+    `quantization`-way softmax over mu-law audio.
+    """
+
+    frame_size: int = 16          # audio samples per frame-tier step
+    rf_size: int = 4              # sample-MLP receptive field (prev samples)
+    quantization: int = 256       # mu-law levels (8-bit)
+    rnn_dim: int = 512            # frame-tier LSTM hidden size
+    embed_dim: int = 32           # per-sample embedding for the MLP
+    mlp_dim: int = 512            # sample-MLP hidden size
+    cond_dim: int = 63            # conditioning feature dim (vocoder frames)
+    sample_rate: int = 16000
+    frame_period_ms: float = 5.0  # conditioning frame hop (WORLD default)
+    layer_norm: bool = False
+    compute_dtype: str = "float32"
+
+    @property
+    def hop(self) -> int:
+        """Audio samples per conditioning frame."""
+        return int(self.sample_rate * self.frame_period_ms / 1000.0 + 0.5)
+
+    @property
+    def steps_per_cond(self) -> int:
+        """Frame-tier steps per conditioning frame (hop / frame_size)."""
+        assert self.hop % self.frame_size == 0, \
+            f"hop {self.hop} not divisible by frame_size {self.frame_size}"
+        return self.hop // self.frame_size
+
+
+@dataclasses.dataclass(frozen=True)
 class ParrotConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)

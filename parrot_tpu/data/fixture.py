@@ -74,15 +74,17 @@ def make_audio_fixture_corpus(
     import h5py
     from scipy.signal import lfilter
 
-    from parrot_tpu.vocoder import analyze, code_frames
+    from parrot_tpu.vocoder import analyze, code_frames, hop_samples
+    from parrot_tpu.vocoder.mulaw import mulaw_encode
 
     rng = np.random.default_rng(seed)
+    hop = hop_samples(fs)
     # per-token (f0, resonance) "phoneme inventory"
     f0s = rng.uniform(100.0, 260.0, size=vocab_size)
     res = rng.uniform(300.0, 2500.0, size=vocab_size)
     seg_len = int(fs * char_ms / 1000.0)
 
-    features, texts, speakers = [], [], []
+    features, texts, speakers, audio_q = [], [], [], []
     for _ in range(num_utterances):
         u = int(rng.integers(min_chars, max_chars + 1))
         ids = rng.integers(1, vocab_size, size=u).astype(np.int32)
@@ -97,7 +99,10 @@ def make_audio_fixture_corpus(
         x = x / (np.abs(x).max() + 1e-9)
         x = x + 0.001 * rng.normal(size=len(x))
         f0, sp, ap = analyze(x, fs)
-        features.append(code_frames(f0, sp, ap))
+        feat = code_frames(f0, sp, ap)
+        features.append(feat)
+        # frame-aligned mu-law audio for neural-vocoder training
+        audio_q.append(mulaw_encode(0.95 * x[:feat.shape[0] * hop]))
         texts.append(ids)
         speakers.append(0)
 
@@ -105,7 +110,8 @@ def make_audio_fixture_corpus(
     splits = {"train": list(range(num_utterances - n_valid)),
               "valid": list(range(num_utterances - n_valid, num_utterances))}
     write_corpus(path, features, texts, speakers, vocab_size=vocab_size,
-                 splits=splits, num_speakers=1)
+                 splits=splits, num_speakers=1,
+                 audio=audio_q, sample_rate=fs, audio_hop=hop)
     with h5py.File(path, "a") as f:
         f.attrs["sample_rate"] = fs
     return path

@@ -7,6 +7,9 @@ SURVEY.md §0). This is our own, simpler schema:
   /features        vlen float32, entry i is utterance i flattened (T_i*D)
   /text            vlen int32, token ids (0 = pad, never used in data)
   /speaker         (N,) int32
+  /audio           OPTIONAL vlen uint8, mu-law ids, T_i*hop samples per
+                   utterance (for neural-vocoder training); with
+                   /audio_lengths and attrs sample_rate, audio_hop
   attrs: frame_size, num_speakers, vocab_size,
          features_mean (D,), features_std (D,)
   /splits/<name>   (K,) int64 utterance indices per split
@@ -44,6 +47,12 @@ class H5Corpus:
         self._features = self._f["features"]
         self._text = self._f["text"]
         self._speaker = self._f["speaker"][:]
+        self.has_audio = "audio" in self._f
+        if self.has_audio:
+            self.sample_rate = int(self._f.attrs["sample_rate"])
+            self.audio_hop = int(self._f.attrs["audio_hop"])
+            self.audio_lengths = np.asarray(self._f["audio_lengths"][:],
+                                            np.int64)
         # lengths are cheap to precompute once; used for bucketing
         self.frame_lengths = np.asarray(self._f["frame_lengths"][:], np.int64)
         self.text_lengths = np.asarray(self._f["text_lengths"][:], np.int64)
@@ -97,6 +106,10 @@ class H5Corpus:
     def speaker(self, i: int) -> int:
         return int(self._speaker[i])
 
+    def audio(self, i: int) -> np.ndarray:
+        """mu-law ids (T_i * audio_hop,) int32; requires has_audio."""
+        return np.asarray(self._f["audio"][i], np.int32)
+
     def close(self):
         self._f.close()
 
@@ -110,8 +123,16 @@ def write_corpus(
     splits: Dict[str, Sequence[int]],
     num_speakers: Optional[int] = None,
     charset: Optional[str] = None,
+    audio: Optional[Sequence[np.ndarray]] = None,  # mu-law ids per utt
+    sample_rate: int = 16000,
+    audio_hop: int = 80,
 ) -> None:
-    """Write a corpus file; computes train-split normalization stats."""
+    """Write a corpus file; computes train-split normalization stats.
+
+    audio: optional per-utterance mu-law ids; entry i must hold exactly
+    features[i].shape[0] * audio_hop samples (frame-aligned raw audio
+    for neural-vocoder training).
+    """
     n = len(features)
     assert n == len(texts) == len(speakers)
     frame_size = features[0].shape[1]
@@ -136,6 +157,20 @@ def write_corpus(
         for i in range(n):
             dfeat[i] = features[i].astype(np.float32).ravel()
             dtext[i] = texts[i].astype(np.int32)
+        if audio is not None:
+            assert len(audio) == n
+            vu = h5py.special_dtype(vlen=np.dtype("uint8"))
+            daud = f.create_dataset("audio", (n,), dtype=vu)
+            for i in range(n):
+                a = np.asarray(audio[i])
+                assert a.shape[0] == features[i].shape[0] * audio_hop, \
+                    (i, a.shape, features[i].shape, audio_hop)
+                daud[i] = a.astype(np.uint8)
+            f.create_dataset(
+                "audio_lengths",
+                data=np.asarray([len(a) for a in audio], np.int64))
+            f.attrs["sample_rate"] = sample_rate
+            f.attrs["audio_hop"] = audio_hop
         f.create_dataset("speaker", data=np.asarray(speakers, np.int32))
         f.create_dataset("frame_lengths",
                          data=np.asarray([x.shape[0] for x in features], np.int64))

@@ -1,1 +1,3 @@
 from parrot_tpu.models.parrot import Parrot, DecoderState  # noqa: F401
+from parrot_tpu.models.samplernn import (  # noqa: F401
+    SampleRNN, SampleRNNState, VocoderBatch)

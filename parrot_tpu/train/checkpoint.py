@@ -176,3 +176,38 @@ def load_for_inference(save_dir: str, model_name: str, which: str = "best"):
     params = jax.device_put(trees["params"])
     norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
     return model, params, norm, cfg, step
+
+
+def load_vocoder_for_inference(save_dir: str, model_name: str,
+                               which: str = "best"):
+    """Restore a trained SampleRNN neural vocoder (train_vocoder.py).
+
+    Returns (model, params, norm, cfg, step). norm is the conditioning-
+    feature normalization saved at train time (self-contained: neural
+    synthesis needs no corpus access).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.config import SampleRNNConfig
+    from parrot_tpu.models.samplernn import SampleRNN
+
+    mgr = CheckpointManager(save_dir, model_name)
+    d = mgr._resolve(which)
+    if d is None:
+        raise FileNotFoundError(
+            f"no vocoder checkpoint under {save_dir}/{model_name}")
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    if "config" not in meta or "samplernn" not in meta["config"]:
+        raise ValueError(f"checkpoint at {d} is not a SampleRNN vocoder "
+                         f"checkpoint (no samplernn config)")
+    cfg = SampleRNNConfig(**meta["config"]["samplernn"])
+    model = SampleRNN(cfg)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    D = cfg.cond_dim
+    norm0 = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+    step, trees, _ = mgr.restore({"params": params0, "norm": norm0},
+                                 which=which)
+    params = jax.device_put(trees["params"])
+    norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
+    return model, params, norm, cfg, step

@@ -99,6 +99,15 @@ def generate_parse(argv=None):
                         "disable the fused serving path: the kernel emits "
                         "(alpha, beta) and phi is reconstructed outside)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--neural_vocoder", type=str, default=None,
+                   help="model_name of a trained SampleRNN vocoder "
+                        "(train_vocoder.py): neural-synthesize "
+                        "*_neural.wav from the generated frames, in "
+                        "addition to the WORLD synthesis filter "
+                        "(Char2Wav's SampleRNN half)")
+    p.add_argument("--vocoder_temperature", type=float, default=1.0,
+                   help="neural-vocoder softmax temperature "
+                        "(<= 0 = greedy)")
     args = p.parse_args(argv)
     cfg = _build_config(args, train_keys=["model_name", "save_dir"])
     sample_over = {}

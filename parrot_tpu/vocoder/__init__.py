@@ -25,3 +25,9 @@ from parrot_tpu.vocoder.features import (  # noqa: F401
     decode_ap,
 )
 from parrot_tpu.vocoder.mcd import mcd  # noqa: F401
+from parrot_tpu.vocoder.mulaw import (  # noqa: F401
+    mulaw_encode,
+    mulaw_decode,
+    mulaw_encode_jax,
+    mulaw_decode_jax,
+)

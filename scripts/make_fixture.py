@@ -11,6 +11,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from parrot_tpu.data import make_fixture_corpus  # noqa: E402
+from parrot_tpu.data.fixture import make_audio_fixture_corpus  # noqa: E402
 
 
 def main():
@@ -22,12 +23,21 @@ def main():
     p.add_argument("--frames_per_char", type=int, default=4)
     p.add_argument("--num_speakers", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--audio", action="store_true",
+                   help="audio fixture: real WORLD features + frame-"
+                        "aligned mu-law audio (for train_vocoder.py / "
+                        "end-to-end tests); ignores --frame_size/"
+                        "--frames_per_char/--num_speakers")
     a = p.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(a.path)), exist_ok=True)
-    make_fixture_corpus(a.path, num_utterances=a.num_utterances,
-                        vocab_size=a.vocab_size, frame_size=a.frame_size,
-                        frames_per_char=a.frames_per_char,
-                        num_speakers=a.num_speakers, seed=a.seed)
+    if a.audio:
+        make_audio_fixture_corpus(a.path, num_utterances=a.num_utterances,
+                                  vocab_size=a.vocab_size, seed=a.seed)
+    else:
+        make_fixture_corpus(a.path, num_utterances=a.num_utterances,
+                            vocab_size=a.vocab_size, frame_size=a.frame_size,
+                            frames_per_char=a.frames_per_char,
+                            num_speakers=a.num_speakers, seed=a.seed)
     print(f"wrote {a.path}")
 
 

@@ -190,6 +190,10 @@ def main():
     p.add_argument("--f0_method", choices=["dio", "harvest"], default="dio",
                    help="F0 estimator: dio (fast) or harvest (contour "
                         "Viterbi, fewer V/UV errors)")
+    p.add_argument("--store_audio", action="store_true",
+                   help="also store frame-aligned mu-law audio in the "
+                        "corpus (for neural-vocoder training, "
+                        "train_vocoder.py)")
     a = p.parse_args()
 
     if a.corpus == "generic":
@@ -213,12 +217,22 @@ def main():
     else:
         inventory = DEFAULT_CHARSET
 
+    from parrot_tpu.vocoder import hop_samples
+    from parrot_tpu.vocoder.mulaw import mulaw_encode
+    hop = hop_samples(a.sample_rate)
+
     features, texts, speakers = [], [], []
+    audio_q = [] if a.store_audio else None
     for i, (wav_path, text, spk) in enumerate(entries):
         x, fs = read_wav(wav_path)
         x = resample(x, fs, a.sample_rate)
         f0, sp, ap = analyze(x, a.sample_rate, f0_method=a.f0_method)
-        features.append(code_frames(f0, sp, ap, n_sp=a.n_sp))
+        feat = code_frames(f0, sp, ap, n_sp=a.n_sp)
+        features.append(feat)
+        if audio_q is not None:
+            peak = np.abs(x).max() + 1e-9
+            scale = min(1.0, 0.95 / peak)
+            audio_q.append(mulaw_encode(scale * x[:feat.shape[0] * hop]))
         texts.append(encode_phonemes(text, inventory) if a.phonemes
                      else encode_text(text, inventory))
         speakers.append(spk)
@@ -233,7 +247,8 @@ def main():
     write_corpus(a.out, features, texts, speakers,
                  vocab_size=len(inventory) + 1, splits=splits,
                  num_speakers=max(max(speakers) + 1, len(speaker_names)),
-                 charset=list(inventory) if a.phonemes else inventory)
+                 charset=list(inventory) if a.phonemes else inventory,
+                 audio=audio_q, sample_rate=a.sample_rate, audio_hop=hop)
     import h5py
     with h5py.File(a.out, "a") as f:
         f.attrs["sample_rate"] = a.sample_rate

@@ -1,0 +1,298 @@
+"""SampleRNN neural-vocoder tests: mu-law coding, TBPTT carry
+equivalence, mask semantics, overfit, generation, stream, and the
+train_vocoder.py -> generate.py --neural_vocoder CLI path (SURVEY.md
+§2.3 N3 — the reference only exposes the hook; the native vocoder is
+tested like any other model here)."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parrot_tpu.config import SampleRNNConfig
+from parrot_tpu.models.samplernn import SampleRNN, VocoderBatch
+from parrot_tpu.vocoder.mulaw import (mulaw_encode, mulaw_decode,
+                                      mulaw_encode_jax, mulaw_decode_jax)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# mu-law
+# ---------------------------------------------------------------------------
+
+def test_mulaw_roundtrip_error_bound():
+    x = np.linspace(-1.0, 1.0, 4001)
+    ids = mulaw_encode(x)
+    assert ids.min() >= 0 and ids.max() <= 255
+    y = mulaw_decode(ids)
+    # companding: fine resolution near zero, coarser at extremes (the
+    # mu-law step at |x|=1 is ~0.022; measured max roundtrip err 0.0215)
+    err = np.abs(y - x)
+    assert err.max() < 0.025
+    near_zero = np.abs(x) < 0.005
+    assert err[near_zero].max() < 5e-4
+    assert mulaw_encode(np.zeros(1))[0] == 128
+
+
+def test_mulaw_jax_matches_numpy():
+    x = np.random.default_rng(0).uniform(-1, 1, 2048).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(mulaw_encode_jax(jnp.asarray(x))),
+                                  mulaw_encode(x))
+    ids = mulaw_encode(x)
+    np.testing.assert_allclose(np.asarray(mulaw_decode_jax(jnp.asarray(ids))),
+                               mulaw_decode(ids), atol=1e-6)
+
+
+def test_mulaw_monotone():
+    x = np.linspace(-1, 1, 1001)
+    ids = mulaw_encode(x)
+    assert (np.diff(ids) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# model
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = SampleRNNConfig(rnn_dim=32, mlp_dim=32, embed_dim=8, cond_dim=5)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    norm = {"mean": jnp.zeros(5), "std": jnp.ones(5)}
+    return cfg, model, params, norm
+
+
+def _rand_batch(cfg, B, Sc, seed=0, D=5):
+    rng = np.random.default_rng(seed)
+    return VocoderBatch(
+        audio=jnp.asarray(rng.integers(0, cfg.quantization,
+                                       (B, Sc * cfg.hop)), jnp.int32),
+        cond=jnp.asarray(rng.normal(size=(B, Sc, D)), jnp.float32),
+        cond_mask=jnp.ones((B, Sc), jnp.float32),
+        start_flag=jnp.float32(1.0),
+    )
+
+
+def test_init_loss_is_uniform_entropy(tiny):
+    cfg, model, params, norm = tiny
+    b = _rand_batch(cfg, 2, 3)
+    loss, _, metrics = model.compute_cost(params, norm, b, None)
+    # fresh params -> near-uniform softmax -> NLL ~ ln(256)
+    assert abs(float(loss) - np.log(cfg.quantization)) < 0.05
+    assert abs(float(metrics["bits_per_sample"]) - 8.0) < 0.1
+
+
+def test_tbptt_carry_full_equals_segments(tiny):
+    cfg, model, params, norm = tiny
+    B, Sc = 3, 4
+    full = _rand_batch(cfg, B, 2 * Sc, seed=1)
+    l_full, st_full, _ = model.compute_cost(params, norm, full, None)
+    b1 = VocoderBatch(full.audio[:, :Sc * cfg.hop], full.cond[:, :Sc],
+                      full.cond_mask[:, :Sc], jnp.float32(1.0))
+    b2 = VocoderBatch(full.audio[:, Sc * cfg.hop:], full.cond[:, Sc:],
+                      full.cond_mask[:, Sc:], jnp.float32(0.0))
+    l1, st1, _ = model.compute_cost(params, norm, b1, None)
+    l2, st2, _ = model.compute_cost(params, norm, b2, st1)
+    assert abs(float(l_full) - float(l1 + l2) / 2) < 1e-5
+    for a, b in zip(st_full, st2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-6)
+
+
+def test_masked_frames_do_not_change_loss_or_state(tiny):
+    cfg, model, params, norm = tiny
+    B, Sc = 2, 4
+    b = _rand_batch(cfg, B, Sc, seed=2)
+    mask = b.cond_mask.at[:, 2:].set(0.0)
+    bm = b._replace(cond_mask=mask)
+    l_m, st_m, _ = model.compute_cost(params, norm, bm, None)
+    # corrupting the masked tail must change nothing
+    b2 = bm._replace(
+        audio=bm.audio.at[:, 2 * cfg.hop:].set(7),
+        cond=bm.cond.at[:, 2:].set(99.0))
+    l_2, st_2, _ = model.compute_cost(params, norm, b2, None)
+    assert float(l_m) == float(l_2)
+    for a, c in zip(st_m, st_2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_grads_finite(tiny):
+    cfg, model, params, norm = tiny
+    b = _rand_batch(cfg, 2, 3, seed=3)
+    g = jax.grad(lambda p: model.compute_cost(p, norm, b, None)[0])(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_generate_shapes_determinism_and_mask(tiny):
+    cfg, model, params, norm = tiny
+    B, Sc = 3, 4
+    rng = np.random.default_rng(4)
+    cond = jnp.asarray(rng.normal(size=(B, Sc, 5)), jnp.float32)
+    mask = jnp.ones((B, Sc), jnp.float32).at[0, 2:].set(0.0)
+    q, audio, st = model.generate(params, norm, cond, mask,
+                                  jax.random.PRNGKey(0))
+    assert q.shape == (B, Sc * cfg.hop) and audio.shape == q.shape
+    assert np.isfinite(np.asarray(audio)).all()
+    # same key -> same samples; different key -> different samples
+    q2, _, _ = model.generate(params, norm, cond, mask, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q2))
+    q3, _, _ = model.generate(params, norm, cond, mask, jax.random.PRNGKey(9))
+    assert (np.asarray(q) != np.asarray(q3)).any()
+    # masked tail is silence
+    assert (np.asarray(q)[0, 2 * cfg.hop:] == model.zero_id).all()
+    # greedy is key-independent
+    g1, _, _ = model.generate(params, norm, cond, mask,
+                              jax.random.PRNGKey(0), temperature=0.0)
+    g2, _, _ = model.generate(params, norm, cond, mask,
+                              jax.random.PRNGKey(9), temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_overfit_memorizes_waveform():
+    """One short fixed waveform + constant conditioning: the model must
+    drive teacher-forced NLL far below uniform and reproduce the
+    waveform greedily (this catches train/generate window mismatches —
+    greedy generation only matches if the feedback layout is identical
+    between the shifted teacher-forced windows and the sampling loop)."""
+    from parrot_tpu.train.optim import adam_init, adam_update
+    from parrot_tpu.config import TrainConfig
+
+    cfg = SampleRNNConfig(rnn_dim=48, mlp_dim=48, embed_dim=12, cond_dim=3)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    norm = {"mean": jnp.zeros(3), "std": jnp.ones(3)}
+    Sc = 4
+    T = Sc * cfg.hop
+    t = np.arange(T)
+    x = 0.6 * np.sin(2 * np.pi * t / 32) + 0.2 * np.sin(2 * np.pi * t / 80)
+    q = mulaw_encode(x)
+    batch = VocoderBatch(
+        audio=jnp.asarray(q[None], jnp.int32),
+        cond=jnp.ones((1, Sc, 3), jnp.float32),
+        cond_mask=jnp.ones((1, Sc), jnp.float32),
+        start_flag=jnp.float32(1.0))
+    tcfg = TrainConfig(learning_rate=3e-3)
+    opt = adam_init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            return model.compute_cost(p, norm, batch, None)[0]
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        params, opt, _ = adam_update(params, g, opt, tcfg)
+        return params, opt, loss
+
+    loss = None
+    for _ in range(400):
+        params, opt, loss = step(params, opt)
+    assert float(loss) < 1.0, f"did not overfit: NLL {float(loss):.3f}"
+
+    qg, _, _ = model.generate(params, norm, batch.cond, batch.cond_mask,
+                              jax.random.PRNGKey(0), temperature=0.0)
+    match = (np.asarray(qg)[0] == q).mean()
+    assert match > 0.85, f"greedy replay only matches {match:.2%}"
+
+
+# ---------------------------------------------------------------------------
+# data: audio fixture + stream
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def audio_corpus(tmp_path_factory):
+    from parrot_tpu.data.fixture import make_audio_fixture_corpus
+    from parrot_tpu.data import H5Corpus
+    path = str(tmp_path_factory.mktemp("voc") / "audio.h5")
+    make_audio_fixture_corpus(path, num_utterances=10, vocab_size=5)
+    return H5Corpus(path)
+
+
+def test_corpus_stores_aligned_mulaw_audio(audio_corpus):
+    c = audio_corpus
+    assert c.has_audio and c.audio_hop == 80 and c.sample_rate == 16000
+    a = c.audio(0)
+    assert a.shape[0] == c.features(0).shape[0] * c.audio_hop
+    assert 0 <= a.min() and a.max() <= 255
+    # decoded audio has sane amplitude (0.95-scaled, not clipped silence)
+    x = mulaw_decode(a)
+    assert 0.2 < np.abs(x).max() <= 0.96
+
+
+def test_vocoder_stream_shapes_and_carry(audio_corpus):
+    from parrot_tpu.data.audio_pipeline import vocoder_stream
+    hop = audio_corpus.audio_hop
+    segs = list(vocoder_stream(audio_corpus, batch_size=4, seq_size=8,
+                               split="train", training=False, epochs=1))
+    assert segs, "empty stream"
+    starts = [float(s.start_flag) for s in segs]
+    assert starts[0] == 1.0 and 0.0 in starts  # multi-segment utterances
+    for s in segs:
+        B, Sc = s.cond_mask.shape
+        assert s.cond.shape == (B, Sc, audio_corpus.frame_size)
+        assert s.audio.shape == (B, Sc * hop)
+        # padded region is mu-law silence
+        pad = np.repeat(s.cond_mask == 0, hop, axis=1)
+        assert (s.audio[pad] == 128).all()
+
+
+def test_vocoder_stream_skip_segments_matches(audio_corpus):
+    from parrot_tpu.data.audio_pipeline import vocoder_stream
+    ref = list(vocoder_stream(audio_corpus, 4, 8, training=True,
+                              shuffle_seed=7, epochs=1))
+    skipped = list(vocoder_stream(audio_corpus, 4, 8, training=True,
+                                  shuffle_seed=7, epochs=1,
+                                  skip_segments=3))
+    assert len(skipped) == len(ref) - 3
+    np.testing.assert_array_equal(skipped[0].audio, ref[3].audio)
+
+
+# ---------------------------------------------------------------------------
+# CLI end-to-end: train_vocoder.py then generate.py --neural_vocoder
+# ---------------------------------------------------------------------------
+
+def test_cli_train_and_neural_generate(tmp_path, audio_corpus):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    save = str(tmp_path / "sm")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train_vocoder.py"),
+         "--dataset", audio_corpus.path, "--model_name", "srnn",
+         "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
+         "--num_steps", "12", "--rnn_dim", "24", "--mlp_dim", "24",
+         "--embed_dim", "8", "--eval_every", "6", "--save_every", "10",
+         "--log_every", "5"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert os.path.exists(os.path.join(save, "srnn", "best"))
+
+    # resume must pick up and extend
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train_vocoder.py"),
+         "--dataset", audio_corpus.path, "--model_name", "srnn",
+         "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
+         "--num_steps", "16", "--rnn_dim", "24", "--mlp_dim", "24",
+         "--embed_dim", "8", "--eval_every", "100", "--save_every", "100",
+         "--log_every", "2", "--resume"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "step=16" in r2.stdout
+
+    # neural synthesis through the loader (the generate.py path without
+    # needing a parrot checkpoint): frames -> audio -> wav-able
+    from parrot_tpu.train.checkpoint import load_vocoder_for_inference
+    model, params, vnorm, vcfg, step = load_vocoder_for_inference(
+        save, "srnn", "best")
+    assert vcfg.cond_dim == audio_corpus.frame_size
+    cond = jnp.asarray(audio_corpus.features(0)[None, :6], jnp.float32)
+    mask = jnp.ones((1, 6), jnp.float32)
+    q, audio, _ = model.generate(params, vnorm, cond, mask,
+                                 jax.random.PRNGKey(0))
+    assert audio.shape == (1, 6 * vcfg.hop)
+    assert np.isfinite(np.asarray(audio)).all()
