@@ -58,6 +58,9 @@ class ModelConfig:
                                        # slightly-negative on v5e at
                                        # flagship dims; exposed for other
                                        # topologies)
+    stacked_scan: bool = False         # one stacked GEMM per decoder layer
+                                       # in the scan body instead of 2-3
+                                       # separate dots (measured perf knob)
     remat_scan: bool = False           # rematerialize the decoder scan body
                                        # (O(1) activation memory per step,
                                        # recompute in backward; for long

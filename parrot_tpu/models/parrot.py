@@ -163,11 +163,16 @@ class Parrot:
         return hoisted, scan_mats
 
     def _cell_step(self, cell, state, gates_pre):
-        """LSTM step from fully-assembled pre-activation gates."""
+        """LSTM step from pre-activation gates missing only h @ wh."""
         h, c = state
         dt = self.cfg.compute_dtype
         gates = gates_pre + jnp.dot(_cast(h, dt), _cast(cell["wh"], dt),
                                     preferred_element_type=jnp.float32)
+        return self._cell_activations(cell, state, gates)
+
+    def _cell_activations(self, cell, state, gates):
+        """LSTM nonlinearity from FULLY-assembled gates (wh included)."""
+        h, c = state
         if "ln_g" in cell:
             from parrot_tpu.nn.core import LayerNorm
             gates = LayerNorm.apply(cell["ln_g"], gates)
@@ -264,16 +269,33 @@ class Parrot:
         dt = cfg.compute_dtype
         hoisted, scan_mats = self._hoist(params, x_in, spk)
         enc = state.enc
+        stacked = cfg.stacked_scan
+        if stacked:
+            # one (B, E[+H]+H) x (E[+H]+H, 4H) GEMM per layer instead of
+            # 2-3 separate dots: stack [w_w; (hb_w;) wh] row blocks once
+            # outside the scan and concat the activations inside
+            stack_mats = []
+            for l in range(self.L):
+                w_w, hb_w = scan_mats[l]
+                blocks = [w_w] + ([hb_w] if hb_w is not None else [])
+                stack_mats.append(_cast(jnp.concatenate(
+                    blocks + [params["dec"][l]["wh"]], axis=0), dt))
 
         def body(carry, t_in):
             hs, kappa, w = carry
             gates_x, m = t_in[:-1], t_in[-1]
             m = m[:, None]
             new_hs = []
-            w_w0, _ = scan_mats[0]
-            g0 = gates_x[0] + jnp.dot(_cast(w, dt), _cast(w_w0, dt),
-                                      preferred_element_type=jnp.float32)
-            h1, c1 = self._cell_step(params["dec"][0], hs[0], g0)
+            if stacked:
+                in0 = jnp.concatenate([_cast(w, dt), _cast(hs[0][0], dt)], -1)
+                g0 = gates_x[0] + jnp.dot(
+                    in0, stack_mats[0], preferred_element_type=jnp.float32)
+                h1, c1 = self._cell_activations(params["dec"][0], hs[0], g0)
+            else:
+                w_w0, _ = scan_mats[0]
+                g0 = gates_x[0] + jnp.dot(_cast(w, dt), _cast(w_w0, dt),
+                                          preferred_element_type=jnp.float32)
+                h1, c1 = self._cell_step(params["dec"][0], hs[0], g0)
             h1 = m * h1 + (1 - m) * hs[0][0]
             c1 = m * c1 + (1 - m) * hs[0][1]
             new_hs.append((h1, c1))
@@ -284,13 +306,23 @@ class Parrot:
             w_t = m * w_t + (1 - m) * w
             h_below = h1
             for l in range(1, self.L):
-                w_wl, hb_wl = scan_mats[l]
-                gl = (gates_x[l]
-                      + jnp.dot(_cast(w_t, dt), _cast(w_wl, dt),
-                                preferred_element_type=jnp.float32)
-                      + jnp.dot(_cast(h_below, dt), _cast(hb_wl, dt),
-                                preferred_element_type=jnp.float32))
-                hl, cl = self._cell_step(params["dec"][l], hs[l], gl)
+                if stacked:
+                    inl = jnp.concatenate([_cast(w_t, dt),
+                                           _cast(h_below, dt),
+                                           _cast(hs[l][0], dt)], -1)
+                    gl = gates_x[l] + jnp.dot(
+                        inl, stack_mats[l],
+                        preferred_element_type=jnp.float32)
+                    hl, cl = self._cell_activations(params["dec"][l],
+                                                    hs[l], gl)
+                else:
+                    w_wl, hb_wl = scan_mats[l]
+                    gl = (gates_x[l]
+                          + jnp.dot(_cast(w_t, dt), _cast(w_wl, dt),
+                                    preferred_element_type=jnp.float32)
+                          + jnp.dot(_cast(h_below, dt), _cast(hb_wl, dt),
+                                    preferred_element_type=jnp.float32))
+                    hl, cl = self._cell_step(params["dec"][l], hs[l], gl)
                 hl = m * hl + (1 - m) * hs[l][0]
                 cl = m * cl + (1 - m) * hs[l][1]
                 new_hs.append((hl, cl))

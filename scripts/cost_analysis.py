@@ -42,6 +42,9 @@ def main():
                         "activations in the backward pass)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--stacked_scan", action="store_true",
+                   help="one stacked GEMM per decoder layer in the scan "
+                        "body (ModelConfig.stacked_scan)")
     a = p.parse_args()
 
     import jax
@@ -54,7 +57,8 @@ def main():
     from parrot_tpu.models import Parrot
     from parrot_tpu.train.optim import adam_init, adam_update
 
-    cfg = ModelConfig(remat_scan=a.remat, compute_dtype=a.compute_dtype)
+    cfg = ModelConfig(remat_scan=a.remat, compute_dtype=a.compute_dtype,
+                      stacked_scan=a.stacked_scan)
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

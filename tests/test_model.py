@@ -227,6 +227,32 @@ def test_remat_scan_matches_plain():
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_stacked_scan_matches_plain():
+    """stacked_scan fuses each layer's scan-body dots into one GEMM
+    against the row-stacked weights; loss and grads must match the
+    plain scan (bit-identical on CPU, f32 tolerance kept anyway)."""
+    rng = np.random.default_rng(12)
+    batch = make_batch(rng)
+    outs = []
+    for stacked in (False, True):
+        for ln in (False, True):
+            cfg = tiny_cfg(stacked_scan=stacked, layer_norm=ln,
+                           use_speaker=True, num_speakers=3, speaker_dim=4)
+            model = Parrot(cfg)
+            params = model.init_params(jax.random.PRNGKey(7))
+            loss, g = jax.value_and_grad(
+                lambda p: model.compute_cost(p, norm_id(7), batch,
+                                             None)[0])(params)
+            outs.append((float(loss), g))
+    for k in (0, 1):  # ln off/on
+        a, b = outs[k], outs[2 + k]
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-6)
+        for x, y in zip(jax.tree.leaves(a[1]), jax.tree.leaves(b[1])):
+            # different GEMM accumulation order: f32 roundoff on grads
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_layer_norm_paths():
     """layer_norm=True exercises the LN branches in cells and encoder:
     cost + grads finite, sampler falls back off the fused kernel."""
