@@ -270,3 +270,47 @@ class SampleRNN:
         q = qs.transpose(1, 0, 2).reshape(B, T_f * self.FS)
         audio = mulaw_decode_jax(q, self.Q)
         return q, audio, SampleRNNState(h=h, c=c, prev=prev, prev_q=prev_q)
+
+    # ------------------------------------------------------------------
+    def generate_fused(self, params, norm, cond, cond_mask, seed,
+                       temperature: float = 1.0, chunk_frames: int = 16,
+                       weight_dtype=None, interpret: bool = False,
+                       state: Optional[SampleRNNState] = None):
+        """Fused-kernel generation (ops/fused_vocoder.py): the whole
+        waveform in one pallas_call, weights VMEM-resident, in-kernel
+        PRNG sampling. ~3x the plain path's throughput on a v5e
+        (449x vs 156x realtime at B=256; docs/PERFORMANCE.md).
+
+        Greedy (temperature <= 0) is bit-identical to `generate` with
+        float32 weights — the parity test mode. Returns (q (B, T) int32,
+        audio (B, T) float32). seed: int (ignored when greedy).
+        """
+        import jax.numpy as jnp  # noqa: F811 (kept local for clarity)
+        from parrot_tpu.ops.fused_vocoder import (
+            prepare_vocoder_params, make_vocoder_init, fused_vocoder_decode)
+
+        cfg = self.cfg
+        if weight_dtype is None:
+            weight_dtype = jnp.bfloat16 if temperature > 0 else jnp.float32
+        B, Sc, _ = cond.shape
+        # Mosaic blocks need the chunk dim divisible by 8; pad the
+        # conditioning up to a multiple of the chunk (masked frames emit
+        # silence and are cropped below)
+        C = max(8, (chunk_frames // 8) * 8)
+        pad = (-Sc) % C
+        cond_n = (cond - norm["mean"]) / norm["std"]
+        cond_n = jnp.pad(cond_n.astype(jnp.float32),
+                         ((0, 0), (0, pad), (0, 0)))
+        mask_p = jnp.pad(cond_mask.astype(jnp.float32), ((0, 0), (0, pad)))
+        if state is None:
+            state = self.init_state(B)
+        kp = prepare_vocoder_params(self, params, weight_dtype)
+        init = make_vocoder_init(params, state, self.RF, self.E)
+        ids = fused_vocoder_decode(
+            kp, cond_n.transpose(1, 0, 2), mask_p.T, init,
+            jnp.full((1,), seed, jnp.int32),
+            T_c=Sc + pad, D=self.D, FS=self.FS, RF=self.RF, E=self.E,
+            H=self.H, M=self.M, Q=self.Q, SPC=cfg.steps_per_cond,
+            temperature=temperature, chunk_frames=C, interpret=interpret)
+        q = ids.T[:, :Sc * cfg.hop]                            # (B, T)
+        return q, mulaw_decode_jax(q, self.Q)

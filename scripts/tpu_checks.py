@@ -127,6 +127,39 @@ def main():
         check(f"{tag}: component means", ok_mean)
         check(f"{tag}: component stddevs (sigma*e^-b)", ok_std)
 
+    # --- fused SampleRNN vocoder kernel (ops/fused_vocoder.py) ---
+    from parrot_tpu.config import SampleRNNConfig
+    from parrot_tpu.models.samplernn import SampleRNN
+
+    vcfg = SampleRNNConfig(rnn_dim=64, mlp_dim=128, embed_dim=16, cond_dim=7)
+    vm = SampleRNN(vcfg)
+    vparams = vm.init_params(jax.random.PRNGKey(3))
+    vnorm = {"mean": jnp.zeros(7), "std": jnp.ones(7)}
+    B, Sc = 8, 16
+    vrng = np.random.default_rng(2)
+    vcond = jnp.asarray(vrng.normal(size=(B, Sc, 7)), jnp.float32)
+    vmask = jnp.ones((B, Sc), jnp.float32).at[0, 12:].set(0.0)
+    q_ref, _, _ = vm.generate(vparams, vnorm, vcond, vmask,
+                              jax.random.PRNGKey(0), temperature=0.0)
+    q_f, _ = vm.generate_fused(vparams, vnorm, vcond, vmask, seed=0,
+                               temperature=0.0)
+    match = float((np.asarray(q_ref) == np.asarray(q_f)).mean())
+    check("vocoder kernel: greedy parity vs plain path", match == 1.0,
+          f"(match {match:.4f})")
+    q1, a1 = vm.generate_fused(vparams, vnorm, vcond, vmask, seed=1,
+                               temperature=1.0)
+    q2, _ = vm.generate_fused(vparams, vnorm, vcond, vmask, seed=2,
+                              temperature=1.0)
+    q1r, _ = vm.generate_fused(vparams, vnorm, vcond, vmask, seed=1,
+                               temperature=1.0)
+    q1, q2, q1r = map(np.asarray, (q1, q2, q1r))
+    check("vocoder kernel: sampled output finite",
+          bool(np.isfinite(np.asarray(a1)).all()))
+    check("vocoder kernel: PRNG seed-sensitive + deterministic",
+          bool((q1 != q2).any() and (q1 == q1r).all()))
+    check("vocoder kernel: masked frames emit silence",
+          bool((q1[0, 12 * vcfg.hop:] == vm.zero_id).all()))
+
     print(f"\n{len(failures)} failures" if failures else "\nALL CHECKS PASS")
     sys.exit(1 if failures else 0)
 

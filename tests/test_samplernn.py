@@ -296,3 +296,74 @@ def test_cli_train_and_neural_generate(tmp_path, audio_corpus):
                                  jax.random.PRNGKey(0))
     assert audio.shape == (1, 6 * vcfg.hop)
     assert np.isfinite(np.asarray(audio)).all()
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas serving kernel (ops/fused_vocoder.py), interpret mode
+# ---------------------------------------------------------------------------
+
+def _fused_setup(seed=3):
+    cfg = SampleRNNConfig(rnn_dim=32, mlp_dim=32, embed_dim=8, cond_dim=5)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    norm = {"mean": jnp.zeros(5), "std": jnp.ones(5)}
+    return cfg, model, params, norm
+
+
+def test_fused_vocoder_greedy_parity_interpret():
+    """Greedy fused kernel == plain generate, bit-exact, incl. a masked
+    row and conditioning padding (Sc=12 pads to the chunk multiple)."""
+    cfg, model, params, norm = _fused_setup()
+    B, Sc = 3, 12
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.normal(size=(B, Sc, 5)), jnp.float32)
+    mask = jnp.ones((B, Sc), jnp.float32).at[1, 7:].set(0.0)
+    q_ref, _, _ = model.generate(params, norm, cond, mask,
+                                 jax.random.PRNGKey(0), temperature=0.0)
+    q_f, audio = model.generate_fused(params, norm, cond, mask, seed=0,
+                                      temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q_ref), np.asarray(q_f))
+    np.testing.assert_allclose(
+        np.asarray(audio),
+        np.asarray(mulaw_decode_jax(q_ref, cfg.quantization)), atol=0)
+
+
+def test_fused_vocoder_carried_state_parity_interpret():
+    """Starting from a NONZERO carried state (mid-utterance serving)
+    the fused kernel must still match the plain path exactly."""
+    cfg, model, params, norm = _fused_setup(seed=4)
+    B, Sc = 2, 8
+    rng = np.random.default_rng(6)
+    cond = jnp.asarray(rng.normal(size=(B, 2 * Sc, 5)), jnp.float32)
+    mask = jnp.ones((B, 2 * Sc), jnp.float32)
+    # run the first half with the plain path to build a real state
+    _, _, st = model.generate(params, norm, cond[:, :Sc], mask[:, :Sc],
+                              jax.random.PRNGKey(0), temperature=0.0)
+    q_ref, _, _ = model.generate(params, norm, cond[:, Sc:], mask[:, Sc:],
+                                 jax.random.PRNGKey(0), temperature=0.0,
+                                 state=st)
+    q_f, _ = model.generate_fused(params, norm, cond[:, Sc:], mask[:, Sc:],
+                                  seed=0, temperature=0.0, state=st,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(q_ref), np.asarray(q_f))
+
+
+def test_fused_vocoder_weight_tuple_and_lut():
+    """prepare_vocoder_params: layout sizes and the mu-law LUT column
+    must equal mulaw_decode of the id range."""
+    from parrot_tpu.ops.fused_vocoder import (prepare_vocoder_params,
+                                              N_WEIGHTS)
+    cfg, model, params, _ = _fused_setup()
+    kp = prepare_vocoder_params(model, params, weight_dtype=jnp.float32)
+    assert len(kp) == N_WEIGHTS
+    assert kp[0].shape == (cfg.frame_size, 4 * cfg.rnn_dim)
+    assert kp[1].shape == (cfg.cond_dim, 4 * cfg.rnn_dim)
+    emb_lut = np.asarray(kp[-1])
+    assert emb_lut.shape == (cfg.quantization, cfg.embed_dim + 1)
+    # the LUT must be the f32 decode (mulaw_decode_jax) EXACTLY — that
+    # is what the plain sampler feeds back, and the bit-parity of the
+    # fused path hangs on it
+    np.testing.assert_array_equal(
+        emb_lut[:, -1],
+        np.asarray(mulaw_decode_jax(jnp.arange(cfg.quantization),
+                                    cfg.quantization)))
