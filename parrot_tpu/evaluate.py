@@ -140,3 +140,77 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
                       else float("nan")),
         "num_utterances": len(idx),
     }
+
+
+def neural_vocoder_report(vmodel, vparams, vnorm, corpus: H5Corpus,
+                          num_utterances: int = 4, temperature: float = 1.0,
+                          seed: int = 0, n_sp: Optional[int] = None,
+                          split: str = "valid") -> Dict[str, float]:
+    """Quality report for a trained SampleRNN vocoder.
+
+    Drives the vocoder with GROUND-TRUTH conditioning frames, re-analyzes
+    the generated waveform with WORLD, and scores the re-coded envelope
+    against the reference features (DTW MCD). The same resynthesis MCD is
+    computed for the WORLD synthesis filter — the baseline the neural
+    vocoder replaces — plus held-out teacher-forced bits/sample.
+    """
+    import jax as _jax
+
+    from parrot_tpu.models.samplernn import VocoderBatch
+    from parrot_tpu.vocoder import (analyze, code_frames, decode_frames,
+                                    synthesize)
+
+    assert corpus.has_audio, "corpus has no /audio"
+    fs = corpus.sample_rate
+    hop = corpus.audio_hop
+    D = corpus.frame_size
+    n_sp_code = D - 6  # corpus coding: D = n_sp + 4 band-ap + lf0 + vuv
+    n_mcd = n_sp if n_sp is not None else n_sp_code
+    idx = corpus.split(split)[:num_utterances]
+
+    neural_d, world_d = [], []
+    for i in idx:
+        feats = corpus.features(int(i))                     # (T, D) raw
+        T = feats.shape[0]
+        cond = jnp.asarray(feats[None], jnp.float32)
+        mask = jnp.ones((1, T), jnp.float32)
+        _, audio, _ = vmodel.generate(vparams, vnorm, cond, mask,
+                                      _jax.random.PRNGKey(seed),
+                                      temperature=temperature)
+        y = np.asarray(audio[0], np.float64)
+        f0, sp, ap = analyze(y, fs)
+        coded = code_frames(f0, sp, ap, n_sp=n_sp_code)     # (~T, D)
+        neural_d.append(mcd(feats[:, :n_mcd], coded[:, :n_mcd],
+                            use_dtw=True))
+        # WORLD-resynthesis baseline: features -> wav -> features
+        f0r, spr, apr = decode_frames(feats, fs)
+        yw = synthesize(f0r, spr, apr, fs)
+        f0w, spw, apw = analyze(yw, fs)
+        codedw = code_frames(f0w, spw, apw, n_sp=n_sp_code)
+        world_d.append(mcd(feats[:, :n_mcd], codedw[:, :n_mcd],
+                           use_dtw=True))
+
+    # held-out teacher-forced bits/sample (one whole-utterance segment
+    # per utterance keeps this simple and exact)
+    bits_sum, n_sum = 0.0, 0.0
+    cost = _jax.jit(lambda b: vmodel.compute_cost(vparams, vnorm, b,
+                                                  None)[2])
+    for i in idx:
+        feats = corpus.features(int(i))
+        q = corpus.audio(int(i))
+        b = VocoderBatch(
+            audio=jnp.asarray(q[None], jnp.int32),
+            cond=jnp.asarray(feats[None], jnp.float32),
+            cond_mask=jnp.ones((1, feats.shape[0]), jnp.float32),
+            start_flag=jnp.float32(1.0))
+        m = cost(b)
+        bits_sum += float(m["bits_per_sample"]) * float(m["samples"])
+        n_sum += float(m["samples"])
+
+    return {
+        "neural_resynthesis_mcd": float(np.mean(neural_d)),
+        "world_resynthesis_mcd": float(np.mean(world_d)),
+        "valid_bits_per_sample": bits_sum / max(n_sum, 1.0),
+        "num_utterances": len(idx),
+        "temperature": float(temperature),
+    }

@@ -30,9 +30,29 @@ def main():
                    help="envelope coefficients used for MCD (default: all; "
                         "13 approximates the classic speech convention)")
     p.add_argument("--split", default="valid", choices=["valid", "train"])
+    p.add_argument("--neural_vocoder", default=None,
+                   help="model_name of a trained SampleRNN vocoder: also "
+                        "report its resynthesis MCD (vs the WORLD "
+                        "synthesis baseline) on ground-truth frames")
+    p.add_argument("--vocoder_only", action="store_true",
+                   help="skip the parrot model report (evaluate just "
+                        "--neural_vocoder)")
     a = p.parse_args()
 
     corpus = H5Corpus(a.dataset)
+    if a.neural_vocoder:
+        from parrot_tpu.evaluate import neural_vocoder_report
+        from parrot_tpu.train.checkpoint import load_vocoder_for_inference
+        vmodel, vparams, vnorm, _, vstep = load_vocoder_for_inference(
+            a.save_dir, a.neural_vocoder, a.checkpoint)
+        vrep = neural_vocoder_report(vmodel, vparams, vnorm, corpus,
+                                     num_utterances=a.num_utterances,
+                                     split=a.split)
+        vrep["vocoder_checkpoint_step"] = vstep
+        print(json.dumps({"neural_vocoder": vrep}, indent=2))
+        if a.vocoder_only:
+            return
+
     try:
         model, params, norm, cfg, step = load_for_inference(
             a.save_dir, a.model_name, a.checkpoint)

@@ -367,3 +367,59 @@ def test_fused_vocoder_weight_tuple_and_lut():
         emb_lut[:, -1],
         np.asarray(mulaw_decode_jax(jnp.arange(cfg.quantization),
                                     cfg.quantization)))
+
+
+def test_vocoder_dp_step_matches_single_device(tiny):
+    """SURVEY.md §4 'multi-chip without a pod' for the vocoder trainer:
+    one train step on the 8-device DP mesh (batch sharded, params
+    replicated) must match the single-device step."""
+    from parrot_tpu.parallel import (make_mesh, batch_sharding, replicated,
+                                     state_sharding)
+    from parrot_tpu.train.optim import adam_init, adam_update
+    from parrot_tpu.config import TrainConfig
+
+    cfg, model, params, norm = tiny
+    tcfg = TrainConfig()
+    batch = _rand_batch(cfg, 8, 2, seed=9)
+
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            loss, st, _ = model.compute_cost(p, norm, batch, None)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state, _ = adam_update(params, grads, opt_state, tcfg)
+        return loss, params
+
+    l1, p1 = jax.jit(train_step)(params, adam_init(params), batch)
+
+    mesh = make_mesh(8)
+    repl = replicated(mesh)
+    repl_tree = lambda t: jax.tree.map(lambda _: repl, t)
+    step8 = jax.jit(train_step,
+                    out_shardings=(None, repl_tree(params)))
+    params_d = jax.device_put(params, repl_tree(params))
+    opt_d = jax.device_put(adam_init(params), repl_tree(adam_init(params)))
+    batch_d = jax.device_put(batch, batch_sharding(mesh, batch))
+    l8, p8 = step8(params_d, opt_d, batch_d)
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_neural_vocoder_report_runs(audio_corpus):
+    """evaluate.neural_vocoder_report: finite MCDs, WORLD baseline
+    included, bits/sample near 8 for an untrained model."""
+    from parrot_tpu.evaluate import neural_vocoder_report
+    cfg = SampleRNNConfig(rnn_dim=16, mlp_dim=16, embed_dim=8,
+                          cond_dim=audio_corpus.frame_size)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    vnorm = {"mean": jnp.asarray(audio_corpus.mean),
+             "std": jnp.asarray(audio_corpus.std)}
+    rep = neural_vocoder_report(model, params, vnorm, audio_corpus,
+                                num_utterances=2)
+    assert np.isfinite(rep["neural_resynthesis_mcd"])
+    assert np.isfinite(rep["world_resynthesis_mcd"])
+    assert rep["world_resynthesis_mcd"] < rep["neural_resynthesis_mcd"]
+    assert abs(rep["valid_bits_per_sample"] - 8.0) < 0.3  # untrained
