@@ -275,7 +275,7 @@ class SampleRNN:
     def generate_fused(self, params, norm, cond, cond_mask, seed,
                        temperature: float = 1.0, chunk_frames: int = 16,
                        weight_dtype=None, interpret: bool = False,
-                       state: Optional[SampleRNNState] = None):
+                       state: Optional[SampleRNNState] = None, mesh=None):
         """Fused-kernel generation (ops/fused_vocoder.py): the whole
         waveform in one pallas_call, weights VMEM-resident, in-kernel
         PRNG sampling. ~3x the plain path's throughput on a v5e
@@ -283,7 +283,13 @@ class SampleRNN:
 
         Greedy (temperature <= 0) is bit-identical to `generate` with
         float32 weights — the parity test mode. Returns (q (B, T) int32,
-        audio (B, T) float32). seed: int (ignored when greedy).
+        audio (B, T) float32). seed: int (per-shard offset applied when
+        sharded, so rows sample independently).
+
+        mesh: optional Mesh with a 'data' axis — batch rows split over
+        chips, weights replicated, one independent kernel per chip
+        (same multi-chip serving design as the parrot fused sampler:
+        decode needs no cross-chip communication).
         """
         import jax.numpy as jnp  # noqa: F811 (kept local for clarity)
         from parrot_tpu.ops.fused_vocoder import (
@@ -298,19 +304,53 @@ class SampleRNN:
         # silence and are cropped below)
         C = max(8, (chunk_frames // 8) * 8)
         pad = (-Sc) % C
+        n_dev = mesh.devices.size if mesh is not None else 1
+        pad_b = (-B) % n_dev
         cond_n = (cond - norm["mean"]) / norm["std"]
         cond_n = jnp.pad(cond_n.astype(jnp.float32),
-                         ((0, 0), (0, pad), (0, 0)))
-        mask_p = jnp.pad(cond_mask.astype(jnp.float32), ((0, 0), (0, pad)))
+                         ((0, pad_b), (0, pad), (0, 0)))
+        mask_p = jnp.pad(cond_mask.astype(jnp.float32),
+                         ((0, pad_b), (0, pad)))
         if state is None:
             state = self.init_state(B)
-        kp = prepare_vocoder_params(self, params, weight_dtype)
-        init = make_vocoder_init(params, state, self.RF, self.E)
-        ids = fused_vocoder_decode(
-            kp, cond_n.transpose(1, 0, 2), mask_p.T, init,
-            jnp.full((1,), seed, jnp.int32),
-            T_c=Sc + pad, D=self.D, FS=self.FS, RF=self.RF, E=self.E,
-            H=self.H, M=self.M, Q=self.Q, SPC=cfg.steps_per_cond,
-            temperature=temperature, chunk_frames=C, interpret=interpret)
-        q = ids.T[:, :Sc * cfg.hop]                            # (B, T)
+        if pad_b:
+            state = jax.tree.map(
+                lambda z: jnp.concatenate(
+                    [z, jnp.zeros((pad_b,) + z.shape[1:], z.dtype)]), state)
+
+        sharded = mesh is not None and n_dev > 1
+
+        def run(params, cond_t, mask_t, h, c, prev, prev_q, seed_arr):
+            if sharded:
+                seed_arr = seed_arr + jax.lax.axis_index("data")
+            kp = prepare_vocoder_params(self, params, weight_dtype)
+            st = SampleRNNState(h=h, c=c, prev=prev, prev_q=prev_q)
+            init = make_vocoder_init(params, st, self.RF, self.E)
+            return fused_vocoder_decode(
+                kp, cond_t, mask_t, init, seed_arr,
+                T_c=Sc + pad, D=self.D, FS=self.FS, RF=self.RF, E=self.E,
+                H=self.H, M=self.M, Q=self.Q, SPC=cfg.steps_per_cond,
+                temperature=temperature, chunk_frames=C,
+                interpret=interpret)
+
+        if sharded:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            run = shard_map(
+                run, mesh=mesh,
+                in_specs=(P(), P(None, "data"), P(None, "data"),
+                          P("data"), P("data"), P("data"), P("data"), P()),
+                out_specs=P(None, "data"), check_vma=False)
+        key = (Sc + pad, B + pad_b, temperature, C, interpret,
+               str(weight_dtype), id(mesh))
+        cache = getattr(self, "_fused_gen_cache", None)
+        if cache is None:
+            cache = self._fused_gen_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = jax.jit(run)
+        ids = fn(params, cond_n.transpose(1, 0, 2), mask_p.T,
+                 state.h, state.c, state.prev, state.prev_q,
+                 jnp.full((1,), seed, jnp.int32))
+        q = ids.T[:B, :Sc * cfg.hop]                           # (B, T)
         return q, mulaw_decode_jax(q, self.Q)

@@ -423,3 +423,22 @@ def test_neural_vocoder_report_runs(audio_corpus):
     assert np.isfinite(rep["world_resynthesis_mcd"])
     assert rep["world_resynthesis_mcd"] < rep["neural_resynthesis_mcd"]
     assert abs(rep["valid_bits_per_sample"] - 8.0) < 0.3  # untrained
+
+
+def test_fused_vocoder_sharded_matches_single(tiny):
+    """shard_map'd fused serving (one kernel per device, interpret) must
+    equal the unsharded greedy kernel — incl. a ragged batch padded up
+    to the mesh size."""
+    from parrot_tpu.parallel import make_mesh
+    cfg, model, params, norm = tiny
+    B, Sc = 6, 8  # B=6 pads to 8 rows on the mesh
+    rng = np.random.default_rng(7)
+    cond = jnp.asarray(rng.normal(size=(B, Sc, 5)), jnp.float32)
+    mask = jnp.ones((B, Sc), jnp.float32).at[2, 5:].set(0.0)
+    q1, _ = model.generate_fused(params, norm, cond, mask, seed=0,
+                                 temperature=0.0, interpret=True)
+    mesh = make_mesh(8)
+    q8, _ = model.generate_fused(params, norm, cond, mask, seed=0,
+                                 temperature=0.0, interpret=True,
+                                 mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q8))
