@@ -278,8 +278,8 @@ class SampleRNN:
                        state: Optional[SampleRNNState] = None, mesh=None):
         """Fused-kernel generation (ops/fused_vocoder.py): the whole
         waveform in one pallas_call, weights VMEM-resident, in-kernel
-        PRNG sampling. ~3x the plain path's throughput on a v5e
-        (449x vs 156x realtime at B=256; docs/PERFORMANCE.md).
+        PRNG sampling. ~6x the plain path's throughput on a v5e
+        (~995x vs ~156x realtime at B=256; docs/PERFORMANCE.md).
 
         Greedy (temperature <= 0) is bit-identical to `generate` with
         float32 weights — the parity test mode. Returns (q (B, T) int32,
