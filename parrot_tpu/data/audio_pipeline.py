@@ -29,17 +29,27 @@ def _chunks(seq, n):
 
 
 def _segment_batch(corpus: H5Corpus, idx: Sequence[int], batch_size: int,
-                   seq_size: int) -> Iterator[VocoderBatch]:
+                   seq_size: int, process_index: int = 0,
+                   process_count: int = 1) -> Iterator[VocoderBatch]:
+    """Multi-host: `idx` is the GLOBAL batch; only this process's row
+    block is read and materialized (same contract as
+    data.pipeline._segment_batch — feeds parallel.staging.stage_local).
+    """
     hop = corpus.audio_hop
     D = corpus.frame_size
     S = seq_size
+    if batch_size % process_count:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"{process_count} processes")
+    B_local = batch_size // process_count
+    rlo = process_index * B_local
+    # segment count from the GLOBAL max length — all processes agree
     t_max = int(max(corpus.frame_lengths[i] for i in idx))
     n_seg = max(1, -(-t_max // S))
-    B = batch_size
-    cond = np.zeros((B, n_seg * S, D), np.float32)
-    cmask = np.zeros((B, n_seg * S), np.float32)
-    audio = np.full((B, n_seg * S * hop), MULAW_ZERO, np.int32)
-    for row, i in enumerate(idx):
+    cond = np.zeros((B_local, n_seg * S, D), np.float32)
+    cmask = np.zeros((B_local, n_seg * S), np.float32)
+    audio = np.full((B_local, n_seg * S * hop), MULAW_ZERO, np.int32)
+    for row, i in enumerate(idx[rlo:rlo + B_local]):
         f = corpus.features(i)
         a = corpus.audio(i)
         t = f.shape[0]
@@ -61,13 +71,17 @@ def vocoder_stream(corpus: H5Corpus, batch_size: int, seq_size: int,
                    split: str = "train", training: bool = True,
                    epochs: Optional[int] = None, shuffle_seed: int = 0,
                    sort_pool_size: int = 20,
-                   skip_segments: int = 0) -> Iterator[VocoderBatch]:
+                   skip_segments: int = 0,
+                   process_index: int = 0,
+                   process_count: int = 1) -> Iterator[VocoderBatch]:
     """Yield aligned (audio, conditioning) TBPTT segments.
 
     Semantics mirror data.pipeline.parrot_stream: training shuffles each
     epoch, sorts within pools to limit padding, drops short final
     batches; evaluation is deterministic with zero-padded final batch.
-    skip_segments fast-forwards for exact resume.
+    skip_segments fast-forwards for exact resume. Multi-host: every
+    process runs the same deterministic bookkeeping but yields only its
+    own batch_size/process_count rows of every global batch.
     """
     if not corpus.has_audio:
         raise ValueError(
@@ -93,7 +107,8 @@ def vocoder_stream(corpus: H5Corpus, batch_size: int, seq_size: int,
                         remaining -= n_seg
                         continue
                 for k, seg in enumerate(_segment_batch(
-                        corpus, list(b), batch_size, seq_size)):
+                        corpus, list(b), batch_size, seq_size,
+                        process_index, process_count)):
                     if k < remaining:
                         continue
                     yield seg

@@ -442,3 +442,85 @@ def test_fused_vocoder_sharded_matches_single(tiny):
                                  temperature=0.0, interpret=True,
                                  mesh=mesh)
     np.testing.assert_array_equal(np.asarray(q1), np.asarray(q8))
+
+
+def test_vocoder_stream_process_sharding_matches_global(audio_corpus):
+    """Each process's vocoder stream must yield exactly its row block
+    of the global batch, segment boundaries and start flags identical
+    (the contract parallel.staging.stage_local assembles from)."""
+    import itertools
+    from parrot_tpu.data.audio_pipeline import vocoder_stream
+    n_batches, B, pc = 5, 4, 2
+    full = list(itertools.islice(
+        vocoder_stream(audio_corpus, B, 8, epochs=1), n_batches))
+    per = B // pc
+    for pi in range(pc):
+        local = list(itertools.islice(
+            vocoder_stream(audio_corpus, B, 8, epochs=1,
+                           process_index=pi, process_count=pc), n_batches))
+        assert len(local) == len(full)
+        for g, l in zip(full, local):
+            for name in g._fields:
+                gv = np.asarray(getattr(g, name))
+                lv = np.asarray(getattr(l, name))
+                if gv.ndim == 0:
+                    np.testing.assert_array_equal(gv, lv)  # start_flag
+                else:
+                    assert lv.shape[0] == per
+                    np.testing.assert_array_equal(
+                        gv[pi * per:(pi + 1) * per], lv)
+
+
+def test_vocoder_sigterm_flushes_checkpoint_and_resumes(tmp_path,
+                                                        audio_corpus):
+    """Preemption contract: SIGTERM mid-training flushes a checkpoint
+    and exits cleanly; --resume continues from it."""
+    import signal
+    import time as _time
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    save = str(tmp_path / "sm")
+    args = [sys.executable, os.path.join(REPO, "train_vocoder.py"),
+            "--dataset", audio_corpus.path, "--model_name", "pre",
+            "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
+            "--num_steps", "10000", "--rnn_dim", "16", "--mlp_dim", "16",
+            "--embed_dim", "8", "--eval_every", "100000",
+            "--save_every", "100000", "--log_every", "1"]
+    proc = subprocess.Popen(args, cwd=REPO, env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    # wait until it has taken a few steps (log_every=1 lines appear)
+    deadline = _time.time() + 300
+    lines = []
+    while _time.time() < deadline:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "[train] step=3" in line:
+            break
+    else:
+        proc.kill()
+        raise AssertionError("trainer never reached step 3:\n"
+                             + "".join(lines))
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out
+    assert "interrupted, checkpoint flushed" in out
+    assert os.path.exists(os.path.join(save, "pre", "latest"))
+    import re
+    import json as _json
+    meta = _json.load(open(os.path.join(
+        save, "pre",
+        open(os.path.join(save, "pre", "latest")).read().strip(),
+        "meta.json")))
+    flushed_step = int(meta["step"])
+    assert flushed_step >= 3
+    resume_args = list(args)
+    # a few steps past wherever the flush landed (SIGTERM timing varies)
+    resume_args[resume_args.index("--num_steps") + 1] = str(
+        flushed_step + 3)
+    r = subprocess.run(resume_args + ["--resume"],
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    m = re.search(r"done: step=(\d+)", r.stdout)
+    assert m and int(m.group(1)) == flushed_step + 3, r.stdout

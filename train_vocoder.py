@@ -58,12 +58,25 @@ def parse(argv=None):
 
 def main(argv=None):
     a = parse(argv)
+    # multi-host pod-slice training: same activation contract as train.py
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        import jax
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            if "JAX_PROCESS_ID" not in os.environ:
+                sys.exit("JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is "
+                         "not — every host needs both")
+            kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kw)
     import jax
     import jax.numpy as jnp
 
     from parrot_tpu.config import SampleRNNConfig, TrainConfig
     from parrot_tpu.data import H5Corpus
     from parrot_tpu.data.audio_pipeline import vocoder_stream
+    from parrot_tpu.data.prefetch import device_prefetch
     from parrot_tpu.models.samplernn import SampleRNN
     from parrot_tpu.parallel import (make_mesh, batch_sharding, replicated,
                                      state_sharding)
@@ -123,12 +136,29 @@ def main(argv=None):
 
     eval_fn = jax.jit(eval_step)
 
+    pc, pi = jax.process_count(), jax.process_index()
     ckpt = CheckpointManager(a.save_dir, a.model_name)
-    log = MetricsLogger(a.save_dir, a.model_name)
+    log = MetricsLogger(a.save_dir, a.model_name, write_file=(pi == 0))
     meta_cfg = {"samplernn": dataclasses.asdict(cfg)}
-    with open(os.path.join(a.save_dir, a.model_name, "config.json"),
-              "w") as f:
-        json.dump(meta_cfg, f, indent=2)
+    if pi == 0:
+        with open(os.path.join(a.save_dir, a.model_name, "config.json"),
+                  "w") as f:
+            json.dump(meta_cfg, f, indent=2)
+
+    def save(step, seen_segments, best_valid, is_best=False):
+        dstate_h = dstate
+        if pc > 1:
+            # dstate rows are sharded across hosts; gather the global
+            # layout so the resume template matches (tiled=True)
+            from jax.experimental import multihost_utils
+            dstate_h = multihost_utils.process_allgather(dstate, tiled=True)
+        if pi != 0:
+            return  # every process joins the gather; one writes
+        ckpt.save(step, {"params": params, "opt_state": opt_state,
+                         "dstate": dstate_h, "norm": norm},
+                  meta={"best_valid": best_valid,
+                        "seen_segments": seen_segments,
+                        "config": meta_cfg}, is_best=is_best)
 
     step, best_valid, seen_segments = 0, float("inf"), 0
     if a.resume:
@@ -144,63 +174,88 @@ def main(argv=None):
         best_valid = meta.get("best_valid", float("inf"))
         seen_segments = meta.get("seen_segments", step)
 
-    b_sh = None
-    params = jax.device_put(params, repl_tree(params))
-    opt_state = jax.device_put(opt_state, repl_tree(opt_state))
-    dstate = jax.device_put(dstate, st_sh)
+    # stage_global degrades to device_put on one process; on a pod slice
+    # it assembles sharded/replicated global arrays from per-host copies
+    from parrot_tpu.parallel.staging import stage_global
+    params = stage_global(params, repl_tree(params))
+    opt_state = stage_global(opt_state, repl_tree(opt_state))
+    dstate = stage_global(dstate, st_sh)
 
     def run_eval(params):
         # start_flag resets carried state inside compute_cost, so one
         # state threads through the whole deterministic stream
-        st, tot, n = model.init_state(a.batch_size), 0.0, 0.0
+        st, tot, n = model.init_state(a.batch_size // pc), 0.0, 0.0
         for vb in vocoder_stream(corpus, a.batch_size, a.seq_size,
-                                 split="valid", training=False, epochs=1):
+                                 split="valid", training=False, epochs=1,
+                                 process_index=pi, process_count=pc):
             st, (l, s) = eval_fn(params, st, vb)
             tot += float(l)
             n += float(s)
+        if pc > 1:
+            # per-host partial sums over the sharded valid stream
+            from jax.experimental import multihost_utils
+            sums = multihost_utils.process_allgather(
+                np.asarray([tot, n], np.float64))
+            tot, n = float(sums[:, 0].sum()), float(sums[:, 1].sum())
         return tot / max(n, 1.0)
+
+    # preemption safety: SIGTERM/SIGINT flush a checkpoint; --resume
+    # picks it up (same contract as the parrot Trainer)
+    import signal
+    interrupted = []
+
+    def _on_signal(sig, frame):
+        interrupted.append(sig)
+
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not the main thread
 
     stream = vocoder_stream(corpus, a.batch_size, a.seq_size,
                             split="train", training=True,
                             shuffle_seed=a.seed,
-                            skip_segments=seen_segments)
-    for batch in stream:
-        if step >= a.num_steps:
-            break
-        if b_sh is None:
-            b_sh = batch_sharding(mesh, batch)
-        batch_d = jax.device_put(batch, b_sh)
-        params, opt_state, dstate, metrics = step_fn(
-            params, opt_state, dstate, batch_d)
-        step += 1
-        seen_segments += 1
-        if step % a.log_every == 0 or step == 1:
-            log.log("train", step, loss=metrics["loss"],
-                    bits_per_sample=metrics["bits_per_sample"],
-                    grad_norm=metrics.get("grad_norm", 0.0))
-        if step % a.eval_every == 0:
-            v = run_eval(params)
-            is_best = v < best_valid
-            best_valid = min(best_valid, v)
-            log.log("valid", step, loss=v, best=best_valid)
-            if is_best:
-                ckpt.save(step, {"params": params, "opt_state": opt_state,
-                                 "dstate": dstate, "norm": norm},
-                          meta={"best_valid": best_valid,
-                                "seen_segments": seen_segments,
-                                "config": meta_cfg}, is_best=True)
-        if step % a.save_every == 0:
-            ckpt.save(step, {"params": params, "opt_state": opt_state,
-                             "dstate": dstate, "norm": norm},
-                      meta={"best_valid": best_valid,
-                            "seen_segments": seen_segments,
-                            "config": meta_cfg})
-    ckpt.save(step, {"params": params, "opt_state": opt_state,
-                     "dstate": dstate, "norm": norm},
-              meta={"best_valid": best_valid,
-                    "seen_segments": seen_segments, "config": meta_cfg})
-    log.log("done", step, best_valid=best_valid)
-    print(f"done: step={step} best_valid={best_valid:.5g}")
+                            skip_segments=seen_segments,
+                            process_index=pi, process_count=pc)
+    # stage batches ahead of the step (double-buffered device prefetch,
+    # multi-host-correct via stage_local under the hood)
+    probe = vocoder_stream(corpus, a.batch_size, a.seq_size,
+                           split="train", training=True,
+                           shuffle_seed=a.seed, epochs=1,
+                           process_index=pi, process_count=pc)
+    b_sh = batch_sharding(mesh, next(iter(probe)))
+    it = device_prefetch(iter(stream), depth=2, sharding=b_sh)
+    try:
+        for batch_d in it:
+            if step >= a.num_steps or interrupted:
+                break
+            params, opt_state, dstate, metrics = step_fn(
+                params, opt_state, dstate, batch_d)
+            step += 1
+            seen_segments += 1
+            if step % a.log_every == 0 or step == 1:
+                log.log("train", step, loss=metrics["loss"],
+                        bits_per_sample=metrics["bits_per_sample"],
+                        grad_norm=metrics.get("grad_norm", 0.0))
+            if step % a.eval_every == 0:
+                v = run_eval(params)
+                is_best = v < best_valid
+                best_valid = min(best_valid, v)
+                log.log("valid", step, loss=v, best=best_valid)
+                if is_best:
+                    save(step, seen_segments, best_valid, is_best=True)
+            if step % a.save_every == 0:
+                save(step, seen_segments, best_valid)
+    finally:
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+    save(step, seen_segments, best_valid)
+    log.log("done", step, best_valid=best_valid,
+            interrupted=bool(interrupted))
+    print(f"done: step={step} best_valid={best_valid:.5g}"
+          + (" (interrupted, checkpoint flushed)" if interrupted else ""))
 
 
 if __name__ == "__main__":
