@@ -303,3 +303,63 @@ def test_two_process_preemption_sigterm_one_host(corpus_path, tmp_path):
         assert p.returncode == 0, f"resume failed:\n{out[-3000:]}"
     step_dir2 = open(os.path.join(root, "latest")).read().strip()
     assert int(step_dir2.split("_")[1]) == step + 3
+
+
+@pytest.fixture(scope="module")
+def audio_corpus_path(tmp_path_factory):
+    from parrot_tpu.data.fixture import make_audio_fixture_corpus
+    path = str(tmp_path_factory.mktemp("mh_voc") / "audio.h5")
+    make_audio_fixture_corpus(path, num_utterances=10, vocab_size=5)
+    return path
+
+
+def test_two_process_vocoder_train_matches_single(audio_corpus_path,
+                                                  tmp_path):
+    """train_vocoder.py on a genuine 2-process JAX CPU cluster (gloo)
+    vs single-process: final checkpoints must agree — proves the
+    vocoder trainer's per-process stream sharding, stage_local batch
+    staging, and gathered-dstate saves are multi-host-correct."""
+    base_env = dict(os.environ)
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    vflags = ["--dataset", audio_corpus_path,
+              "--model_name", "v", "--batch_size", "4", "--seq_size", "8",
+              "--rnn_dim", "16", "--mlp_dim", "16", "--embed_dim", "8",
+              "--num_steps", "4", "--eval_every", "0", "--save_every", "0",
+              "--log_every", "1", "--seed", "7"]
+
+    def run(n_local_devices, dist_env, save_dir):
+        env = dict(base_env)
+        xla = " ".join(f for f in env.get("XLA_FLAGS", "").split()
+                       if "device_count" not in f)
+        env["XLA_FLAGS"] = (f"{xla} --xla_force_host_platform_"
+                            f"device_count={n_local_devices}").strip()
+        env.update(dist_env)
+        return subprocess.Popen(
+            [sys.executable, "train_vocoder.py", "--save_dir", save_dir]
+            + vflags,
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+
+    port = _free_port()
+    single_dir = str(tmp_path / "vsingle")
+    multi_dir = str(tmp_path / "vmulti")
+    procs = [run(4, {}, single_dir)]
+    for pid in range(2):
+        procs.append(run(2, {
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        }, multi_dir))
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        assert p.returncode == 0, f"vocoder trainer failed:\n{out[-3000:]}"
+
+    single = _load_latest(single_dir, "v")
+    multi = _load_latest(multi_dir, "v")
+    assert set(single) == set(multi)
+    for k in sorted(single):
+        np.testing.assert_allclose(
+            single[k], multi[k], rtol=2e-4, atol=2e-5,
+            err_msg=f"vocoder checkpoint array {k} diverged")

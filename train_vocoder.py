@@ -235,18 +235,18 @@ def main(argv=None):
                 params, opt_state, dstate, batch_d)
             step += 1
             seen_segments += 1
-            if step % a.log_every == 0 or step == 1:
+            if step == 1 or (a.log_every and step % a.log_every == 0):
                 log.log("train", step, loss=metrics["loss"],
                         bits_per_sample=metrics["bits_per_sample"],
                         grad_norm=metrics.get("grad_norm", 0.0))
-            if step % a.eval_every == 0:
+            if a.eval_every and step % a.eval_every == 0:
                 v = run_eval(params)
                 is_best = v < best_valid
                 best_valid = min(best_valid, v)
                 log.log("valid", step, loss=v, best=best_valid)
                 if is_best:
                     save(step, seen_segments, best_valid, is_best=True)
-            if step % a.save_every == 0:
+            if a.save_every and step % a.save_every == 0:
                 save(step, seen_segments, best_valid)
     finally:
         for sig, h in old_handlers.items():
