@@ -35,14 +35,27 @@ class Batch(NamedTuple):
     start_flag: np.ndarray     # () float32: 1.0 = first segment (reset state)
 
 
+class JointBatch(NamedTuple):
+    """A Batch plus its aligned mu-law audio, for Char2Wav joint
+    end-to-end fine-tuning (train_joint.py): audio[:, t*hop:(t+1)*hop]
+    are the samples governed by conditioning frame features[:, t]."""
+
+    frames: Batch
+    audio: np.ndarray          # (B, S * hop) int32 mu-law ids
+
+
 def _chunks(seq, n):
     for i in range(0, len(seq), n):
         yield seq[i:i + n]
 
 
+MULAW_ZERO = 128  # mulaw_encode(0.0) at Q=256 (pad decodes to silence)
+
+
 def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
                    cfg: DataConfig, process_index: int = 0,
-                   process_count: int = 1) -> Iterator[Batch]:
+                   process_count: int = 1,
+                   with_audio: bool = False) -> Iterator[Batch]:
     """Yield the segments of one utterance batch.
 
     Multi-host: `idx` is always the GLOBAL batch's utterance list, so
@@ -68,6 +81,9 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
     text = np.zeros((B_local, U), np.int32)
     tmask = np.zeros((B_local, U), np.float32)
     speaker = np.zeros((B_local,), np.int32)
+    hop = corpus.audio_hop if with_audio else 0
+    audio = (np.full((B_local, n_seg * S * hop), MULAW_ZERO, np.int32)
+             if with_audio else None)
 
     # rows beyond len(idx) stay zero (mask 0) for short final batches
     for row, i in enumerate(idx[rlo:rlo + B_local]):
@@ -78,12 +94,16 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
         text[row, :len(t)] = t
         tmask[row, :len(t)] = 1.0
         speaker[row] = corpus.speaker(i)
+        if with_audio:
+            a = corpus.audio(i)
+            assert a.shape[0] == f.shape[0] * hop, (i, a.shape, f.shape, hop)
+            audio[row, :a.shape[0]] = a
 
     for s in range(n_seg):
         lo, hi = s * S, (s + 1) * S
         prev = (padded[:, lo - 1] if s > 0
                 else np.zeros((B_local, D), np.float32))
-        yield Batch(
+        b = Batch(
             features=padded[:, lo:hi],
             features_mask=fmask[:, lo:hi],
             prev_frame=prev.copy(),
@@ -92,6 +112,8 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int],
             speaker=speaker,
             start_flag=np.float32(1.0 if s == 0 else 0.0),
         )
+        yield (JointBatch(frames=b, audio=audio[:, lo * hop:hi * hop])
+               if with_audio else b)
 
 
 def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
@@ -99,7 +121,8 @@ def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
                   epochs: Optional[int] = None,
                   skip_segments: int = 0,
                   process_index: int = 0,
-                  process_count: int = 1) -> Iterator[Batch]:
+                  process_count: int = 1,
+                  with_audio: bool = False) -> Iterator[Batch]:
     """Yield TBPTT segment batches.
 
     training=True: shuffle each epoch, sort within pools of
@@ -115,7 +138,15 @@ def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
     bucketing bookkeeping (same shuffle_seed), but each yields only its
     own rows of every global batch — batches have batch_size /
     process_count rows, ready for `parallel.staging.stage_local`.
+
+    with_audio=True yields JointBatch (the Batch plus its aligned mu-law
+    audio) for Char2Wav joint fine-tuning; requires a corpus built with
+    preprocess.py --store_audio.
     """
+    if with_audio and not corpus.has_audio:
+        raise ValueError(
+            f"corpus {corpus.path} has no /audio dataset — rebuild with "
+            f"preprocess.py --store_audio")
     idx = corpus.split(split)
     rng = np.random.default_rng(cfg.shuffle_seed)
     epoch = 0
@@ -136,7 +167,8 @@ def parrot_stream(corpus: H5Corpus, cfg: DataConfig, split: str = "train",
                         remaining -= n_seg
                         continue
                 for k, seg in enumerate(_segment_batch(
-                        corpus, b, cfg, process_index, process_count)):
+                        corpus, b, cfg, process_index, process_count,
+                        with_audio=with_audio)):
                     if k < remaining:
                         continue
                     yield seg

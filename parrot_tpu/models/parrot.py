@@ -192,13 +192,22 @@ class Parrot:
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
     def compute_cost(self, params, norm, batch, state: Optional[DecoderState],
-                     rng=None) -> Tuple[jnp.ndarray, DecoderState, Dict]:
+                     rng=None, with_predictions: bool = False
+                     ) -> Tuple[jnp.ndarray, DecoderState, Dict]:
         """Teacher-forced segment cost.
 
         norm: dict(mean (D,), std (D,)) — applied on device here.
         batch: a data.Batch (features (B,S,D) RAW, masks, text, speaker,
         prev_frame RAW, start_flag scalar). state: carried DecoderState
         or None (fresh). Returns (scalar loss, new_state, metrics).
+
+        with_predictions=True adds metrics["pred_frames"]: the model's
+        differentiable per-step frame prediction in RAW feature space,
+        (B, S, D) — the MSE head output, or the GMM mixture expectation
+        sum_m softmax(pi)_m mu_m. This is the conditioning signal for
+        Char2Wav joint fine-tuning (models/char2wav.py): gradients of a
+        downstream neural-vocoder loss flow through it into every parrot
+        parameter.
         """
         cfg = self.cfg
         B, S, D = batch.features.shape
@@ -234,12 +243,18 @@ class Parrot:
         raw, new_state, phis = self.scan_decoder(
             params, state, x_in, mask, batch.text_mask, spk)
 
+        pred_n = None
         if cfg.which_cost == "GMM":
             mu, ls, pi = split_gmm_params(raw, D, cfg.num_mixtures,
                                           cfg.min_log_sigma)
             cost = gmm_nll(x_tgt, mu, ls, pi)                  # (T, B)
+            if with_predictions:
+                w_m = jax.nn.softmax(pi, axis=-1)              # (T, B, M)
+                pred_n = jnp.einsum("tbm,tbmd->tbd", w_m, mu)
         else:
             cost = mse_cost(x_tgt, raw)
+            if with_predictions:
+                pred_n = raw
         denom = jnp.maximum(mask.sum(), 1.0)
         loss = (cost * mask).sum() / denom
         # carry the last VALID frame per row (segment tails can be padding;
@@ -251,6 +266,9 @@ class Parrot:
         x_last = jnp.where((n_valid > 0)[:, None], last_valid, state.x_last)
         new_state = new_state._replace(x_last=x_last)
         metrics = {"loss": loss, "frames": mask.sum()}
+        if with_predictions:
+            pred_raw = pred_n * norm["std"] + norm["mean"]     # (T, B, D)
+            metrics["pred_frames"] = pred_raw.transpose(1, 0, 2)
         return loss, new_state, metrics
 
     def scan_decoder(self, params, state: DecoderState, x_in, mask,

@@ -1,0 +1,364 @@
+#!/usr/bin/env python
+"""Char2Wav joint end-to-end fine-tuning entry point.
+
+The Char2Wav recipe (Sotelo et al. 2017): pretrain the reader
+(train.py) and the neural vocoder (train_vocoder.py) separately, then
+fine-tune them END-TO-END — the vocoder consumes the reader's predicted
+vocoder frames and its waveform NLL back-propagates into the reader.
+The reference repo stops at the conditioning-feature hook to an
+external Theano SampleRNN (SURVEY.md §2.3 N3, BASELINE.json:11); here
+both halves are native JAX (models/char2wav.py) and the joint objective
+is one jitted, DP-sharded `value_and_grad`.
+
+Examples:
+  python scripts/make_fixture.py data/audio_fixture.h5 --audio
+  python train.py --dataset data/audio_fixture.h5 --model_name reader1
+  python train_vocoder.py --dataset data/audio_fixture.h5 --model_name voc1
+  python train_joint.py --dataset data/audio_fixture.h5 \
+      --model_name c2w1 --parrot_init reader1 --vocoder_init voc1 \
+      --num_steps 2000
+
+Every best/final save also exports standard-format half checkpoints to
+`<model_name>_parrot` / `<model_name>_vocoder`, so generation is:
+  python generate.py --model_name c2w1_parrot --dataset ... \
+      --neural_vocoder c2w1_vocoder --text "..."
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def parse(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True,
+                   help="HDF5 corpus WITH audio (preprocess --store_audio)")
+    p.add_argument("--model_name", default="char2wav")
+    p.add_argument("--save_dir", default="saved_models")
+    p.add_argument("--parrot_init", default=None,
+                   help="pretrained reader checkpoint name (train.py) to "
+                        "fine-tune from; fresh init when omitted")
+    p.add_argument("--vocoder_init", default=None,
+                   help="pretrained vocoder checkpoint name "
+                        "(train_vocoder.py); fresh init when omitted")
+    p.add_argument("--init_checkpoint", default="best",
+                   choices=["best", "latest"],
+                   help="which checkpoint of the init models to load")
+    p.add_argument("--frame_loss_weight", type=float, default=1.0)
+    p.add_argument("--audio_loss_weight", type=float, default=1.0)
+    p.add_argument("--detach_frames", action="store_true",
+                   help="stop gradients at the conditioning boundary "
+                        "(vocoder-only adaptation to predicted frames)")
+    # fresh-init architecture (ignored when the matching --*_init is given)
+    p.add_argument("--which_cost", choices=["GMM", "MSE"], default="GMM")
+    p.add_argument("--rnn_h_dim", type=int, default=512)
+    p.add_argument("--readouts_dim", type=int, default=512)
+    p.add_argument("--encoder_dim", type=int, default=128)
+    p.add_argument("--embed_dim", type=int, default=256)
+    p.add_argument("--decoder_layers", type=int, default=3)
+    p.add_argument("--attention_mixtures", type=int, default=10)
+    p.add_argument("--num_mixtures", type=int, default=20)
+    p.add_argument("--vocoder_rnn_dim", type=int, default=512)
+    p.add_argument("--vocoder_mlp_dim", type=int, default=512)
+    p.add_argument("--vocoder_embed_dim", type=int, default=32)
+    p.add_argument("--vocoder_frame_size", type=int, default=16)
+    p.add_argument("--vocoder_rf_size", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--seq_size", type=int, default=20,
+                   help="TBPTT segment length in frames (x hop samples)")
+    p.add_argument("--max_text_len", type=int, default=256)
+    p.add_argument("--num_steps", type=int, default=5000)
+    p.add_argument("--learning_rate", type=float, default=2e-4,
+                   help="fine-tuning default; lower than from-scratch")
+    p.add_argument("--grad_clip", type=float, default=10.0)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="DP mesh size (0 = all visible devices)")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    a = parse(argv)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        import jax
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            if "JAX_PROCESS_ID" not in os.environ:
+                sys.exit("JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is "
+                         "not — every host needs both")
+            kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kw)
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
+                                   SampleRNNConfig, TrainConfig)
+    from parrot_tpu.data import H5Corpus
+    from parrot_tpu.data.pipeline import parrot_stream
+    from parrot_tpu.data.prefetch import device_prefetch
+    from parrot_tpu.models.char2wav import Char2Wav
+    from parrot_tpu.parallel import (make_mesh, batch_sharding, replicated,
+                                     state_sharding)
+    from parrot_tpu.parallel.staging import stage_global
+    from parrot_tpu.train.checkpoint import (CheckpointManager,
+                                             load_for_inference,
+                                             load_vocoder_for_inference)
+    from parrot_tpu.train.optim import adam_init, adam_update
+    from parrot_tpu.utils.logging import MetricsLogger
+
+    corpus = H5Corpus(a.dataset)
+    if not corpus.has_audio:
+        sys.exit(f"{a.dataset} has no /audio — rebuild the corpus with "
+                 f"preprocess.py --store_audio")
+    norm = {"mean": jnp.asarray(corpus.mean), "std": jnp.asarray(corpus.std)}
+    key = jax.random.PRNGKey(a.seed)
+    kp, kv = jax.random.split(key)
+
+    # --- halves: pretrained checkpoints or fresh ---------------------
+    if a.parrot_init:
+        _, p_params, p_norm, p_cfg, p_step = load_for_inference(
+            a.save_dir, a.parrot_init, a.init_checkpoint)
+        pcfg = p_cfg.model
+        if pcfg.frame_size != corpus.frame_size:
+            sys.exit(f"--parrot_init frame_size {pcfg.frame_size} != corpus "
+                     f"frame_size {corpus.frame_size}")
+        # fine-tune with the stats the reader was trained under
+        norm = p_norm
+        print(f"reader '{a.parrot_init}' loaded (step {p_step})")
+    else:
+        pcfg = ModelConfig(frame_size=corpus.frame_size,
+                           vocab_size=corpus.vocab_size,
+                           num_speakers=max(corpus.num_speakers, 1),
+                           which_cost=a.which_cost, rnn_h_dim=a.rnn_h_dim,
+                           readouts_dim=a.readouts_dim,
+                           encoder_dim=a.encoder_dim, embed_dim=a.embed_dim,
+                           decoder_layers=a.decoder_layers,
+                           attention_mixtures=a.attention_mixtures,
+                           num_mixtures=a.num_mixtures)
+        p_params = None
+    if a.vocoder_init:
+        _, v_params, _, vcfg, v_step = load_vocoder_for_inference(
+            a.save_dir, a.vocoder_init, a.init_checkpoint)
+        if vcfg.cond_dim != corpus.frame_size:
+            sys.exit(f"--vocoder_init cond_dim {vcfg.cond_dim} != corpus "
+                     f"frame_size {corpus.frame_size}")
+        print(f"vocoder '{a.vocoder_init}' loaded (step {v_step})")
+    else:
+        vcfg = SampleRNNConfig(
+            cond_dim=corpus.frame_size, sample_rate=corpus.sample_rate,
+            frame_period_ms=corpus.audio_hop / corpus.sample_rate * 1000.0,
+            rnn_dim=a.vocoder_rnn_dim, mlp_dim=a.vocoder_mlp_dim,
+            embed_dim=a.vocoder_embed_dim, frame_size=a.vocoder_frame_size,
+            rf_size=a.vocoder_rf_size)
+        v_params = None
+    if vcfg.hop != corpus.audio_hop:
+        sys.exit(f"vocoder hop {vcfg.hop} != corpus audio hop "
+                 f"{corpus.audio_hop}")
+
+    model = Char2Wav(pcfg, vcfg)
+    params = model.init_params(key)
+    if p_params is not None:
+        params["parrot"] = p_params
+    if v_params is not None:
+        params["vocoder"] = v_params
+    opt_state = adam_init(params)
+
+    dcfg = DataConfig(dataset=a.dataset, batch_size=a.batch_size,
+                      seq_size=a.seq_size, max_text_len=a.max_text_len,
+                      shuffle_seed=a.seed)
+    tcfg = TrainConfig(model_name=a.model_name, save_dir=a.save_dir,
+                       learning_rate=a.learning_rate, grad_clip=a.grad_clip,
+                       num_steps=a.num_steps, save_every=a.save_every,
+                       eval_every=a.eval_every, log_every=a.log_every,
+                       seed=a.seed, num_devices=a.num_devices)
+
+    mesh = make_mesh(a.num_devices)
+    n_dev = mesh.devices.size
+    if a.batch_size % n_dev:
+        sys.exit(f"batch_size {a.batch_size} not divisible by "
+                 f"{n_dev} devices")
+    repl = replicated(mesh)
+    repl_tree = lambda t: jax.tree.map(lambda _: repl, t)  # noqa: E731
+    dstate = model.init_state(a.batch_size, a.max_text_len)
+    st_sh = state_sharding(mesh, dstate)
+
+    def train_step(params, opt_state, dstate, batch, step):
+        rng = jax.random.fold_in(jax.random.PRNGKey(a.seed + 1), step)
+
+        def loss_fn(p):
+            loss, new_state, metrics = model.compute_cost(
+                p, norm, batch, dstate, rng=rng,
+                frame_loss_weight=a.frame_loss_weight,
+                audio_loss_weight=a.audio_loss_weight,
+                detach_frames=a.detach_frames)
+            return loss, (new_state, metrics)
+
+        (loss, (new_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params, opt_state, info = adam_update(params, grads, opt_state, tcfg)
+        return params, opt_state, new_state, dict(metrics, **info)
+
+    step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2),
+                      out_shardings=(repl_tree(params), repl_tree(opt_state),
+                                     st_sh, None))
+
+    def eval_step(params, dstate, batch):
+        _, new_state, metrics = model.compute_cost(
+            params, norm, batch, dstate,
+            frame_loss_weight=a.frame_loss_weight,
+            audio_loss_weight=a.audio_loss_weight)
+        return new_state, (metrics["frame_loss"] * metrics["frames"],
+                           metrics["frames"],
+                           metrics["audio_loss"] * metrics["samples"],
+                           metrics["samples"])
+
+    eval_fn = jax.jit(eval_step)
+
+    pc, pi = jax.process_count(), jax.process_index()
+    ckpt = CheckpointManager(a.save_dir, a.model_name)
+    log = MetricsLogger(a.save_dir, a.model_name, write_file=(pi == 0))
+    parrot_full_cfg = ParrotConfig(model=pcfg, data=dcfg, train=tcfg)
+    meta_cfg = {"parrot": json.loads(parrot_full_cfg.to_json()),
+                "samplernn": dataclasses.asdict(vcfg)}
+    if pi == 0:
+        os.makedirs(os.path.join(a.save_dir, a.model_name), exist_ok=True)
+        with open(os.path.join(a.save_dir, a.model_name, "config.json"),
+                  "w") as f:
+            json.dump(meta_cfg, f, indent=2)
+
+    def export_halves(step):
+        """Write standard-format half checkpoints for generate.py."""
+        if pi != 0:
+            return
+        pm = CheckpointManager(a.save_dir, a.model_name + "_parrot")
+        pm.save(step, {"params": params["parrot"], "norm": norm},
+                meta={"config": parrot_full_cfg.to_json()}, is_best=True)
+        vm = CheckpointManager(a.save_dir, a.model_name + "_vocoder")
+        vm.save(step, {"params": params["vocoder"], "norm": norm},
+                meta={"config": {"samplernn": dataclasses.asdict(vcfg)}},
+                is_best=True)
+
+    def save(step, seen_segments, best_valid, is_best=False):
+        dstate_h = dstate
+        if pc > 1:
+            from jax.experimental import multihost_utils
+            dstate_h = multihost_utils.process_allgather(dstate, tiled=True)
+        if pi != 0:
+            return
+        ckpt.save(step, {"params": params, "opt_state": opt_state,
+                         "dstate": dstate_h, "norm": norm},
+                  meta={"best_valid": best_valid,
+                        "seen_segments": seen_segments,
+                        "config": meta_cfg}, is_best=is_best)
+        if is_best:
+            export_halves(step)
+
+    step, best_valid, seen_segments = 0, float("inf"), 0
+    if a.resume:
+        r = ckpt.restore({"params": params, "opt_state": opt_state,
+                          "dstate": dstate})
+        if r is None:
+            sys.exit(f"--resume: no checkpoint under "
+                     f"{a.save_dir}/{a.model_name}")
+        step, trees, meta = r
+        params = jax.tree.map(jnp.asarray, trees["params"])
+        opt_state = jax.tree.map(jnp.asarray, trees["opt_state"])
+        # unflatten_like rebuilds the JointState template's exact nested
+        # NamedTuple structure, so a plain tree.map suffices
+        dstate = jax.tree.map(jnp.asarray, trees["dstate"])
+        best_valid = meta.get("best_valid", float("inf"))
+        seen_segments = meta.get("seen_segments", step)
+
+    params = stage_global(params, repl_tree(params))
+    opt_state = stage_global(opt_state, repl_tree(opt_state))
+    dstate = stage_global(dstate, st_sh)
+
+    def run_eval(params):
+        st = model.init_state(a.batch_size // pc, a.max_text_len)
+        fl, ff, al, ss = 0.0, 0.0, 0.0, 0.0
+        for vb in parrot_stream(corpus, dcfg, split="valid",
+                                training=False, epochs=1,
+                                process_index=pi, process_count=pc,
+                                with_audio=True):
+            st, (l1, n1, l2, n2) = eval_fn(params, st, vb)
+            fl += float(l1); ff += float(n1)
+            al += float(l2); ss += float(n2)
+        if pc > 1:
+            from jax.experimental import multihost_utils
+            sums = multihost_utils.process_allgather(
+                np.asarray([fl, ff, al, ss], np.float64))
+            fl, ff, al, ss = (float(sums[:, i].sum()) for i in range(4))
+        frame = fl / max(ff, 1.0)
+        audio = al / max(ss, 1.0)
+        return (a.frame_loss_weight * frame + a.audio_loss_weight * audio,
+                frame, audio)
+
+    import signal
+    interrupted = []
+
+    def _on_signal(sig, frame):
+        interrupted.append(sig)
+
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not the main thread
+
+    stream = parrot_stream(corpus, dcfg, split="train", training=True,
+                           skip_segments=seen_segments,
+                           process_index=pi, process_count=pc,
+                           with_audio=True)
+    probe = parrot_stream(corpus, dcfg, split="train", training=True,
+                          epochs=1, process_index=pi, process_count=pc,
+                          with_audio=True)
+    b_sh = batch_sharding(mesh, next(iter(probe)))
+    it = device_prefetch(iter(stream), depth=2, sharding=b_sh)
+    try:
+        for batch_d in it:
+            if step >= a.num_steps or interrupted:
+                break
+            params, opt_state, dstate, metrics = step_fn(
+                params, opt_state, dstate, batch_d, jnp.int32(step))
+            step += 1
+            seen_segments += 1
+            if step == 1 or (a.log_every and step % a.log_every == 0):
+                log.log("train", step, loss=metrics["loss"],
+                        frame_loss=metrics["frame_loss"],
+                        audio_loss=metrics["audio_loss"],
+                        bits_per_sample=metrics["bits_per_sample"],
+                        grad_norm=metrics.get("grad_norm", 0.0))
+            if a.eval_every and step % a.eval_every == 0:
+                v, vf, va = run_eval(params)
+                is_best = v < best_valid
+                best_valid = min(best_valid, v)
+                log.log("valid", step, loss=v, frame_loss=vf,
+                        audio_loss=va, best=best_valid)
+                if is_best:
+                    save(step, seen_segments, best_valid, is_best=True)
+            if a.save_every and step % a.save_every == 0:
+                save(step, seen_segments, best_valid)
+    finally:
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+    save(step, seen_segments, best_valid)
+    export_halves(step)
+    log.log("done", step, best_valid=best_valid,
+            interrupted=bool(interrupted))
+    print(f"done: step={step} best_valid={best_valid:.5g}"
+          + (" (interrupted, checkpoint flushed)" if interrupted else ""))
+
+
+if __name__ == "__main__":
+    main()
