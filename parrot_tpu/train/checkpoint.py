@@ -48,10 +48,13 @@ def unflatten_like(template, flat: Dict[str, np.ndarray], prefix=""):
     if key not in flat:
         raise KeyError(f"checkpoint missing array: {key}")
     arr = flat[key]
-    want = np.asarray(template)
-    if tuple(arr.shape) != tuple(want.shape):
+    # templates may be abstract (jax.eval_shape output) — never
+    # materialize them just to read a shape
+    want_shape = (tuple(template.shape) if hasattr(template, "shape")
+                  else np.asarray(template).shape)
+    if tuple(arr.shape) != tuple(want_shape):
         raise ValueError(f"shape mismatch for {key}: "
-                         f"ckpt {arr.shape} vs model {want.shape}")
+                         f"ckpt {arr.shape} vs model {want_shape}")
     return arr
 
 
@@ -168,7 +171,9 @@ def load_for_inference(save_dir: str, model_name: str, which: str = "best"):
         raise ValueError(f"checkpoint at {d} has no saved config")
     cfg = ParrotConfig.from_json(meta["config"])
     model = Parrot(cfg.model)
-    params0 = model.init_params(jax.random.PRNGKey(0))
+    # template only (shapes): eval_shape does no device work — eager
+    # init over the axon tunnel costs minutes at load time otherwise
+    params0 = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
     D = cfg.model.frame_size
     norm0 = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
     step, trees, _ = mgr.restore({"params": params0, "norm": norm0},
@@ -203,7 +208,7 @@ def load_vocoder_for_inference(save_dir: str, model_name: str,
                          f"checkpoint (no samplernn config)")
     cfg = SampleRNNConfig(**meta["config"]["samplernn"])
     model = SampleRNN(cfg)
-    params0 = model.init_params(jax.random.PRNGKey(0))
+    params0 = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
     D = cfg.cond_dim
     norm0 = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
     step, trees, _ = mgr.restore({"params": params0, "norm": norm0},

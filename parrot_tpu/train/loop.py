@@ -73,8 +73,10 @@ class Trainer:
             self.norm = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
 
         key = jax.random.PRNGKey(cfg.train.seed)
-        self.params = self.model.init_params(key)
-        self.opt_state = adam_init(self.params)
+        # jit: one compiled program instead of per-op eager dispatches
+        # (eager init over the axon tunnel costs minutes at startup)
+        self.params = jax.jit(self.model.init_params)(key)
+        self.opt_state = jax.jit(adam_init)(self.params)
         self.step = 0
         self.best_valid = float("inf")
         self._segments_done = 0  # stream position (TBPTT segments emitted)

@@ -234,13 +234,14 @@ def test_joint_two_segments_match_full(audio_corpus):
 # ---------------------------------------------------------------------------
 
 def test_cli_train_joint_export_and_generate(tmp_path, audio_corpus):
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    from tests.util_env import cpu_env
+    env = cpu_env()
     save = str(tmp_path / "sm")
     args = ["--dataset", audio_corpus.path, "--model_name", "c2w",
             "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
             "--max_text_len", "16", "--eval_every", "6",
             "--save_every", "10", "--log_every", "5",
+            "--num_devices", "4",
             "--rnn_h_dim", "16", "--readouts_dim", "16",
             "--encoder_dim", "8", "--embed_dim", "8",
             "--decoder_layers", "2", "--attention_mixtures", "2",
@@ -308,13 +309,14 @@ def test_cli_train_joint_from_pretrained_halves(tmp_path, audio_corpus):
         7, {"params": vp, "norm": norm},
         meta={"config": {"samplernn": dc.asdict(model.vcfg)}}, is_best=True)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    from tests.util_env import cpu_env
+    env = cpu_env()
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "train_joint.py"),
          "--dataset", c.path, "--model_name", "c2wp", "--save_dir", save,
          "--parrot_init", "reader", "--vocoder_init", "voc",
          "--batch_size", "4", "--seq_size", "8", "--max_text_len", "16",
+         "--num_devices", "4",
          "--num_steps", "6", "--eval_every", "0", "--save_every", "0",
          "--log_every", "2", "--detach_frames"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)

@@ -36,6 +36,7 @@ def wav_dir(tmp_path_factory):
 
 def run_script(args):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # see tests/util_env.py
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "preprocess.py")]
         + args, capture_output=True, text=True, env=env)

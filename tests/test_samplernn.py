@@ -257,14 +257,14 @@ def test_vocoder_stream_skip_segments_matches(audio_corpus):
 # ---------------------------------------------------------------------------
 
 def test_cli_train_and_neural_generate(tmp_path, audio_corpus):
-    env = dict(os.environ,
-               JAX_PLATFORMS="cpu",
-               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    from tests.util_env import cpu_env
+    env = cpu_env()
     save = str(tmp_path / "sm")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "train_vocoder.py"),
          "--dataset", audio_corpus.path, "--model_name", "srnn",
          "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
+         "--num_devices", "4",
          "--num_steps", "12", "--rnn_dim", "24", "--mlp_dim", "24",
          "--embed_dim", "8", "--eval_every", "6", "--save_every", "10",
          "--log_every", "5"],
@@ -277,6 +277,7 @@ def test_cli_train_and_neural_generate(tmp_path, audio_corpus):
         [sys.executable, os.path.join(REPO, "train_vocoder.py"),
          "--dataset", audio_corpus.path, "--model_name", "srnn",
          "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
+         "--num_devices", "4",
          "--num_steps", "16", "--rnn_dim", "24", "--mlp_dim", "24",
          "--embed_dim", "8", "--eval_every", "100", "--save_every", "100",
          "--log_every", "2", "--resume"],
@@ -477,12 +478,13 @@ def test_vocoder_sigterm_flushes_checkpoint_and_resumes(tmp_path,
     and exits cleanly; --resume continues from it."""
     import signal
     import time as _time
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    from tests.util_env import cpu_env
+    env = cpu_env()
     save = str(tmp_path / "sm")
     args = [sys.executable, os.path.join(REPO, "train_vocoder.py"),
             "--dataset", audio_corpus.path, "--model_name", "pre",
             "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
+            "--num_devices", "4",
             "--num_steps", "10000", "--rnn_dim", "16", "--mlp_dim", "16",
             "--embed_dim", "8", "--eval_every", "100000",
             "--save_every", "100000", "--log_every", "1"]

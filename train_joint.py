@@ -166,12 +166,13 @@ def main(argv=None):
                  f"{corpus.audio_hop}")
 
     model = Char2Wav(pcfg, vcfg)
-    params = model.init_params(key)
+    # jit: one compiled program, not per-op eager tunnel round trips
+    params = jax.jit(model.init_params)(key)
     if p_params is not None:
         params["parrot"] = p_params
     if v_params is not None:
         params["vocoder"] = v_params
-    opt_state = adam_init(params)
+    opt_state = jax.jit(adam_init)(params)
 
     dcfg = DataConfig(dataset=a.dataset, batch_size=a.batch_size,
                       seq_size=a.seq_size, max_text_len=a.max_text_len,
@@ -325,6 +326,13 @@ def main(argv=None):
                           with_audio=True)
     b_sh = batch_sharding(mesh, next(iter(probe)))
     it = device_prefetch(iter(stream), depth=2, sharding=b_sh)
+    if step == 0 and a.eval_every:
+        # pre-fine-tune baseline: how well the pretrained (or fresh)
+        # vocoder models real audio given the reader's PREDICTED frames —
+        # the number joint fine-tuning exists to improve
+        v, vf, va = run_eval(params)
+        log.log("valid", 0, loss=v, frame_loss=vf, audio_loss=va, best=v)
+        best_valid = min(best_valid, v)
     try:
         for batch_d in it:
             if step >= a.num_steps or interrupted:

@@ -100,8 +100,9 @@ def main(argv=None):
                        eval_every=a.eval_every, log_every=a.log_every,
                        seed=a.seed, num_devices=a.num_devices)
     model = SampleRNN(cfg)
-    params = model.init_params(jax.random.PRNGKey(a.seed))
-    opt_state = adam_init(params)
+    # jit: one compiled program, not per-op eager tunnel round trips
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(a.seed))
+    opt_state = jax.jit(adam_init)(params)
     norm = {"mean": jnp.asarray(corpus.mean), "std": jnp.asarray(corpus.std)}
 
     mesh = make_mesh(a.num_devices)
