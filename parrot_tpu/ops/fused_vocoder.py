@@ -143,8 +143,12 @@ def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature):
             c_s[:] = c_new
 
             # (B, FS*M) upsample rides in scratch: Mosaic lowers dynamic
-            # slices of REFS (pl.ds), not of values
-            up_s[:] = dot(h_new.astype(wd), w_up[:]) + b_up[:]
+            # slices of REFS (pl.ds), not of values. Stored at the
+            # serving weight dtype — the largest scratch buffer (16 MB
+            # f32 at B=512 flagship dims) halves in bf16 serving, and
+            # the f32 greedy/parity mode is unchanged.
+            up_s[:] = (dot(h_new.astype(wd), w_up[:])
+                       + b_up[:]).astype(up_s.dtype)
 
             def sample_one(p, carry):
                 win, xs_acc, ids_acc = carry
@@ -238,7 +242,8 @@ def fused_vocoder_decode(kp, cond, mask, init, seed, *, T_c, D, FS, RF, E,
             pltpu.VMEM((B, H), jnp.float32),       # c
             pltpu.VMEM((B, FS), jnp.float32),      # prev frame samples
             pltpu.VMEM((B, RF * E), jnp.float32),  # rolling window embeds
-            pltpu.VMEM((B, FS * M), jnp.float32),  # per-frame upsample
+            # per-frame upsample at the serving weight dtype (see kernel)
+            pltpu.VMEM((B, FS * M), kp[0].dtype),
         ],
     )
     call = pl.pallas_call(
