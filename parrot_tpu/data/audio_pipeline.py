@@ -20,7 +20,7 @@ import numpy as np
 from parrot_tpu.data.hdf5_dataset import H5Corpus
 from parrot_tpu.models.samplernn import VocoderBatch
 
-MULAW_ZERO = 128  # mulaw_encode(0.0) at Q=256
+from parrot_tpu.vocoder.mulaw import MULAW_ZERO  # pad id: silence
 
 
 def _chunks(seq, n):

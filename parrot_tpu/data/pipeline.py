@@ -21,6 +21,7 @@ import numpy as np
 
 from parrot_tpu.config import DataConfig
 from parrot_tpu.data.hdf5_dataset import H5Corpus
+from parrot_tpu.vocoder.mulaw import MULAW_ZERO  # audio pad id: silence
 
 
 class Batch(NamedTuple):
@@ -47,9 +48,6 @@ class JointBatch(NamedTuple):
 def _chunks(seq, n):
     for i in range(0, len(seq), n):
         yield seq[i:i + n]
-
-
-MULAW_ZERO = 128  # mulaw_encode(0.0) at Q=256 (pad decodes to silence)
 
 
 def _segment_batch(corpus: H5Corpus, idx: Sequence[int],

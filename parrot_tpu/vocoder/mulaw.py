@@ -44,3 +44,9 @@ def mulaw_decode_jax(ids, quantization: int = 256):
     mu = quantization - 1
     y = ids.astype(jnp.float32) / mu * 2.0 - 1.0
     return (jnp.sign(y) * jnp.expm1(jnp.abs(y) * jnp.log1p(float(mu))) / mu)
+
+
+# mu-law id of silence at the corpus quantization (Q=256 throughout the
+# HDF5 schema): mulaw_encode(0.0) == Q // 2. Data pipelines pad audio
+# with this id so padding decodes to exact silence.
+MULAW_ZERO = 128

@@ -36,12 +36,13 @@ def main():
 
     cfg = ModelConfig()  # flagship reader: D=63, H=512, L=3, K=10, M=20
     model = Parrot(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    # jit: eager per-op init over the axon tunnel costs minutes
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     D = cfg.frame_size
 
     vcfg = SampleRNNConfig(cond_dim=D)  # flagship vocoder: H=512, MLP=512
     vmodel = SampleRNN(vcfg)
-    vparams = vmodel.init_params(jax.random.PRNGKey(1))
+    vparams = jax.jit(vmodel.init_params)(jax.random.PRNGKey(1))
 
     B, U, STEPS = 256, 128, 512
     rng = np.random.default_rng(0)

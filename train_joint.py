@@ -122,7 +122,6 @@ def main(argv=None):
                  f"preprocess.py --store_audio")
     norm = {"mean": jnp.asarray(corpus.mean), "std": jnp.asarray(corpus.std)}
     key = jax.random.PRNGKey(a.seed)
-    kp, kv = jax.random.split(key)
 
     # --- halves: pretrained checkpoints or fresh ---------------------
     if a.parrot_init:
@@ -147,11 +146,21 @@ def main(argv=None):
                            num_mixtures=a.num_mixtures)
         p_params = None
     if a.vocoder_init:
-        _, v_params, _, vcfg, v_step = load_vocoder_for_inference(
+        _, v_params, v_norm, vcfg, v_step = load_vocoder_for_inference(
             a.save_dir, a.vocoder_init, a.init_checkpoint)
         if vcfg.cond_dim != corpus.frame_size:
             sys.exit(f"--vocoder_init cond_dim {vcfg.cond_dim} != corpus "
                      f"frame_size {corpus.frame_size}")
+        # the joint run conditions the vocoder with `norm`; a vocoder
+        # pretrained under different stats would start silently degraded
+        # (and the step-0 baseline would be meaningless)
+        for k in ("mean", "std"):
+            if not np.allclose(np.asarray(v_norm[k]), np.asarray(norm[k]),
+                               rtol=1e-5, atol=1e-6):
+                sys.exit(f"--vocoder_init '{a.vocoder_init}' was trained "
+                         f"under different conditioning {k} stats than "
+                         f"this run uses (corpus/--parrot_init stats) — "
+                         f"retrain the vocoder on matching stats")
         print(f"vocoder '{a.vocoder_init}' loaded (step {v_step})")
     else:
         vcfg = SampleRNNConfig(
@@ -166,12 +175,15 @@ def main(argv=None):
                  f"{corpus.audio_hop}")
 
     model = Char2Wav(pcfg, vcfg)
-    # jit: one compiled program, not per-op eager tunnel round trips
-    params = jax.jit(model.init_params)(key)
-    if p_params is not None:
-        params["parrot"] = p_params
-    if v_params is not None:
-        params["vocoder"] = v_params
+    if p_params is None or v_params is None:
+        # jit: one compiled program, not per-op eager tunnel round trips
+        params = jax.jit(model.init_params)(key)
+        if p_params is not None:
+            params["parrot"] = p_params
+        if v_params is not None:
+            params["vocoder"] = v_params
+    else:
+        params = {"parrot": p_params, "vocoder": v_params}
     opt_state = jax.jit(adam_init)(params)
 
     dcfg = DataConfig(dataset=a.dataset, batch_size=a.batch_size,
@@ -237,17 +249,26 @@ def main(argv=None):
                   "w") as f:
             json.dump(meta_cfg, f, indent=2)
 
-    def export_halves(step):
-        """Write standard-format half checkpoints for generate.py."""
+    exported_best = []
+
+    def export_halves(step, is_best):
+        """Write standard-format half checkpoints for generate.py.
+
+        is_best=True only when the joint valid loss improved — the
+        final-step export must NOT re-point the halves' 'best' away
+        from the eval-best params (generate.py defaults to 'best').
+        """
         if pi != 0:
             return
         pm = CheckpointManager(a.save_dir, a.model_name + "_parrot")
         pm.save(step, {"params": params["parrot"], "norm": norm},
-                meta={"config": parrot_full_cfg.to_json()}, is_best=True)
+                meta={"config": parrot_full_cfg.to_json()}, is_best=is_best)
         vm = CheckpointManager(a.save_dir, a.model_name + "_vocoder")
         vm.save(step, {"params": params["vocoder"], "norm": norm},
                 meta={"config": {"samplernn": dataclasses.asdict(vcfg)}},
-                is_best=True)
+                is_best=is_best)
+        if is_best:
+            exported_best.append(step)
 
     def save(step, seen_segments, best_valid, is_best=False):
         dstate_h = dstate
@@ -262,12 +283,12 @@ def main(argv=None):
                         "seen_segments": seen_segments,
                         "config": meta_cfg}, is_best=is_best)
         if is_best:
-            export_halves(step)
+            export_halves(step, is_best=True)
 
     step, best_valid, seen_segments = 0, float("inf"), 0
     if a.resume:
         r = ckpt.restore({"params": params, "opt_state": opt_state,
-                          "dstate": dstate})
+                          "dstate": dstate, "norm": norm})
         if r is None:
             sys.exit(f"--resume: no checkpoint under "
                      f"{a.save_dir}/{a.model_name}")
@@ -277,8 +298,16 @@ def main(argv=None):
         # unflatten_like rebuilds the JointState template's exact nested
         # NamedTuple structure, so a plain tree.map suffices
         dstate = jax.tree.map(jnp.asarray, trees["dstate"])
+        # the step fns close over `norm` and trace only after this
+        # rebinding, so the restored stats (e.g. from --parrot_init with
+        # --norm_stats) survive a resume without the init flags
+        norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
         best_valid = meta.get("best_valid", float("inf"))
         seen_segments = meta.get("seen_segments", step)
+        if best_valid < float("inf"):
+            # the prior run exported eval-best halves; the final export
+            # of THIS run must not re-point their 'best'
+            exported_best.append(step)
 
     params = stage_global(params, repl_tree(params))
     opt_state = stage_global(opt_state, repl_tree(opt_state))
@@ -361,7 +390,9 @@ def main(argv=None):
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
     save(step, seen_segments, best_valid)
-    export_halves(step)
+    # final-step halves: 'best' only when no eval-best export exists yet
+    # (e.g. --eval_every 0), else latest-only alongside the eval best
+    export_halves(step, is_best=not exported_best)
     log.log("done", step, best_valid=best_valid,
             interrupted=bool(interrupted))
     print(f"done: step={step} best_valid={best_valid:.5g}"
