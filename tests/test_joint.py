@@ -325,3 +325,71 @@ def test_cli_train_joint_from_pretrained_halves(tmp_path, audio_corpus):
     assert "vocoder 'voc' loaded (step 7)" in r.stdout
     cfg = json.load(open(os.path.join(save, "c2wp", "config.json")))
     assert cfg["parrot"]["model"]["rnn_h_dim"] == model.pcfg.rnn_h_dim
+
+
+def test_resume_keeps_init_norm_and_mismatched_vocoder_rejected(
+        tmp_path, audio_corpus):
+    """Two review-fix pins: (a) --resume restores the norm stats saved
+    at init time even when the --*_init flags are dropped; (b) a
+    vocoder pretrained under different conditioning stats is rejected
+    with a clear error instead of silently degrading."""
+    import dataclasses as dc
+    import json
+
+    from parrot_tpu.config import ParrotConfig, TrainConfig
+    from parrot_tpu.models.samplernn import SampleRNN
+    from parrot_tpu.train.checkpoint import CheckpointManager
+    from tests.util_env import cpu_env
+
+    save = str(tmp_path / "sm")
+    c = audio_corpus
+    model = _small_model(c)
+    # deliberately NOT the corpus stats — the thing resume must keep
+    custom = {"mean": np.asarray(c.mean) + 0.5,
+              "std": np.asarray(c.std) * 2.0}
+    pfull = ParrotConfig(model=model.pcfg, train=TrainConfig())
+    pp = Parrot(model.pcfg).init_params(jax.random.PRNGKey(7))
+    CheckpointManager(save, "reader").save(
+        5, {"params": pp, "norm": custom},
+        meta={"config": pfull.to_json()}, is_best=True)
+    vp = SampleRNN(model.vcfg).init_params(jax.random.PRNGKey(8))
+    CheckpointManager(save, "voc").save(
+        7, {"params": vp, "norm": custom},
+        meta={"config": {"samplernn": dc.asdict(model.vcfg)}}, is_best=True)
+    # a second vocoder under DIFFERENT stats: must be rejected
+    CheckpointManager(save, "voc_bad").save(
+        7, {"params": vp, "norm": {"mean": np.asarray(c.mean),
+                                   "std": np.asarray(c.std)}},
+        meta={"config": {"samplernn": dc.asdict(model.vcfg)}}, is_best=True)
+
+    env = cpu_env()
+    base = [sys.executable, os.path.join(REPO, "train_joint.py"),
+            "--dataset", c.path, "--model_name", "c2wn", "--save_dir", save,
+            "--batch_size", "4", "--seq_size", "8", "--max_text_len", "16",
+            "--num_devices", "4", "--eval_every", "0", "--save_every", "0",
+            "--log_every", "2"]
+
+    r_bad = subprocess.run(
+        base + ["--parrot_init", "reader", "--vocoder_init", "voc_bad",
+                "--num_steps", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r_bad.returncode != 0
+    assert "different conditioning" in (r_bad.stdout + r_bad.stderr)
+
+    r1 = subprocess.run(
+        base + ["--parrot_init", "reader", "--vocoder_init", "voc",
+                "--num_steps", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    # resume WITHOUT the init flags: the custom stats must survive
+    r2 = subprocess.run(
+        base + ["--num_steps", "4", "--resume"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    root = os.path.join(save, "c2wn")
+    step_dir = os.path.join(
+        root, open(os.path.join(root, "latest")).read().strip())
+    with np.load(os.path.join(step_dir, "arrays.npz")) as z:
+        np.testing.assert_allclose(z["norm/mean"], custom["mean"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(z["norm/std"], custom["std"], rtol=1e-6)

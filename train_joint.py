@@ -123,8 +123,23 @@ def main(argv=None):
     norm = {"mean": jnp.asarray(corpus.mean), "std": jnp.asarray(corpus.std)}
     key = jax.random.PRNGKey(a.seed)
 
+    # --- resume: the architecture comes from the checkpoint, not from
+    # flags or the --*_init checkpoints (params are restored below) ---
+    resume_cfg = None
+    if a.resume:
+        d = CheckpointManager(a.save_dir, a.model_name)._resolve("latest")
+        if d is None:
+            sys.exit(f"--resume: no checkpoint under "
+                     f"{a.save_dir}/{a.model_name}")
+        resume_cfg = json.load(
+            open(os.path.join(d, "meta.json")))["config"]
+
     # --- halves: pretrained checkpoints or fresh ---------------------
-    if a.parrot_init:
+    if resume_cfg is not None:
+        pcfg = ModelConfig(**resume_cfg["parrot"]["model"])
+        vcfg = SampleRNNConfig(**resume_cfg["samplernn"])
+        p_params = v_params = None
+    elif a.parrot_init:
         _, p_params, p_norm, p_cfg, p_step = load_for_inference(
             a.save_dir, a.parrot_init, a.init_checkpoint)
         pcfg = p_cfg.model
@@ -145,7 +160,9 @@ def main(argv=None):
                            attention_mixtures=a.attention_mixtures,
                            num_mixtures=a.num_mixtures)
         p_params = None
-    if a.vocoder_init:
+    if resume_cfg is not None:
+        pass  # vcfg set above; params come from the joint checkpoint
+    elif a.vocoder_init:
         _, v_params, v_norm, vcfg, v_step = load_vocoder_for_inference(
             a.save_dir, a.vocoder_init, a.init_checkpoint)
         if vcfg.cond_dim != corpus.frame_size:
