@@ -106,6 +106,19 @@ def flatten_state(st) -> Tuple[jax.Array, ...]:
     return tuple(flat) + (st.kappa, st.w, st.x_last)
 
 
+def split_state(flat, *, L, H, K, E, D) -> Tuple[jax.Array, ...]:
+    """(B, 2LH+K+E+D) emit_state output -> the flat init-state tuple
+    (h_0, c_0, ..., h_{L-1}, c_{L-1}, kappa, w, x_last) — the inverse
+    of the kernel's final-state concatenation."""
+    sizes = [H, H] * L + [K, E, D]
+    out, o = [], 0
+    for sz in sizes:
+        out.append(flat[:, o:o + sz])
+        o += sz
+    assert o == flat.shape[-1], (o, flat.shape)
+    return tuple(out)
+
+
 def _uniform(shape):
     """random bits -> uniform in (0, 1). prng_random_bits yields int32
     here; bitcast to uint32 BEFORE shifting or sign extension produces
@@ -122,7 +135,7 @@ def _uniform(shape):
 def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
                  min_log_sigma, is_gmm, layer_norm=False,
                  stop_threshold=1.0, debug_mode=0, emit_attention=False,
-                 inject_uniforms=False):
+                 inject_uniforms=False, emit_state=False):
     """Returns the kernel body. Shapes, depth and LN are static.
 
     emit_attention=True adds an (C, B, 2K) output of per-step (alpha,
@@ -157,10 +170,11 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
         if inject_uniforms:
             un_ref = refs[i]; i += 1
         init = refs[i:i + 2 * L + 3]; i += 2 * L + 3
-        n_out = 3 if emit_attention else 2
+        n_out = 2 + int(emit_attention) + int(emit_state)
         outs = refs[i:i + n_out]; i += n_out
         frames_out, kappa_out = outs[0], outs[1]
         ab_out = outs[2] if emit_attention else None
+        state_out = outs[-1] if emit_state else None
         scratch = refs[i:i + 2 * L + 3]; i += 2 * L + 3
         done_s = refs[i]
         hs = [(scratch[2 * l], scratch[2 * l + 1]) for l in range(L)]
@@ -324,6 +338,14 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
                 row_done = frac > stop_threshold
                 done_s[0] = jnp.all(row_done).astype(jnp.int32)
 
+        if emit_state:
+            # final carried state for streaming continuation: written
+            # every chunk (same block, last write wins) and OUTSIDE the
+            # all_done guard, so an early-exited call still reports the
+            # state it stopped with
+            state_out[:] = jnp.concatenate([s_ref[:] for s_ref in scratch],
+                                           axis=-1)
+
     return kernel
 
 
@@ -332,13 +354,13 @@ def _make_kernel(*, B, D, E, H, K, M, U, C, L, alignment, bias,
     static_argnames=("T", "D", "E", "H", "K", "M", "L", "head_dim",
                      "alignment", "bias", "min_log_sigma", "is_gmm",
                      "layer_norm", "interpret", "debug_mode", "chunk_steps",
-                     "stop_threshold", "emit_attention"))
+                     "stop_threshold", "emit_attention", "emit_state"))
 def fused_decode(kp, enc, mask, init_state, seed, uniforms=None,
                  *, T, D, E, H, K, M, L=3, head_dim=None, alignment=1.0,
                  bias=0.0, min_log_sigma=-7.0, is_gmm=True,
                  layer_norm=False, interpret=False,
                  debug_mode=0, chunk_steps=16, stop_threshold=1.0,
-                 emit_attention=False):
+                 emit_attention=False, emit_state=False):
     """Run T fused autoregressive steps.
 
     kp: flat weight tuple from prepare_params; enc (B, U, E) f32; mask
@@ -347,7 +369,11 @@ def fused_decode(kp, enc, mask, init_state, seed, uniforms=None,
     Returns (frames (T, B, D), kappas (T, B, K)); with
     emit_attention=True also (alphas_betas (T, B, 2K)) for phi
     reconstruction via `reconstruct_phi` (attention plots from the
-    fused serving path).
+    fused serving path); with emit_state=True a FINAL output
+    (B, 2LH+K+E+D) — the carried decoder state after the last step,
+    split back into the flat init layout by `split_state` — so a next
+    call can continue exactly where this one stopped (streaming
+    synthesis: sample/streaming.py).
     """
     B, U, _ = enc.shape
     C = chunk_steps
@@ -366,7 +392,8 @@ def fused_decode(kp, enc, mask, init_state, seed, uniforms=None,
                           stop_threshold=stop_threshold,
                           debug_mode=debug_mode,
                           emit_attention=emit_attention,
-                          inject_uniforms=inject)
+                          inject_uniforms=inject,
+                          emit_state=emit_state)
 
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [vm() for _ in range(len(kp))]            # weights/biases
@@ -401,6 +428,11 @@ def fused_decode(kp, enc, mask, init_state, seed, uniforms=None,
                                       lambda t, seed: (t, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((T, B, 2 * K), jnp.float32))
+    if emit_state:
+        SDIM = 2 * L * H + K + E + D
+        out_specs.append(pl.BlockSpec((B, SDIM), lambda t, seed: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, SDIM), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

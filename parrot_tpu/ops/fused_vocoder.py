@@ -84,6 +84,20 @@ def make_vocoder_init(params, state, rf_size: int, embed_dim: int):
     return (state.h, state.c, state.prev, win.astype(jnp.float32))
 
 
+def split_vocoder_state(flat, *, H, FS, RF, E):
+    """(B, 2H+FS+RF*E) emit_state output -> the (h, c, prev, win)
+    kernel init tuple (the inverse of the final-state concatenation).
+    `win` feeds straight back as the rolling-window init — no prev_q
+    round trip needed between streaming chunks."""
+    sizes = [H, H, FS, RF * E]
+    out, o = [], 0
+    for sz in sizes:
+        out.append(flat[:, o:o + sz])
+        o += sz
+    assert o == flat.shape[-1], (o, flat.shape)
+    return tuple(out)
+
+
 def _uniform(shape):
     """TPU PRNG bits -> uniform in (0, 1) (same recipe as fused_decode)."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -92,16 +106,22 @@ def _uniform(shape):
     return jnp.clip(u, 1e-7, 0.999999)
 
 
-def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature):
+def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature,
+                 emit_state=False):
     """C = conditioning frames per grid step; SPC = tier steps per
     conditioning frame. One grid step emits C * SPC * FS samples."""
     greedy = temperature <= 0.0
     inv_temp = 0.0 if greedy else 1.0 / float(temperature)
 
     def kernel(*refs):
-        (seed_ref, wx_x, wx_c, wh, b4, w_up, b_up, w1, b1, w2, b2, wq, bq,
-         emb_t, cond, mask, h0, c0, prev0, win0, ids_out,
-         h_s, c_s, prev_s, win_s, up_s) = refs
+        if emit_state:
+            (seed_ref, wx_x, wx_c, wh, b4, w_up, b_up, w1, b1, w2, b2,
+             wq, bq, emb_t, cond, mask, h0, c0, prev0, win0, ids_out,
+             state_out, h_s, c_s, prev_s, win_s, up_s) = refs
+        else:
+            (seed_ref, wx_x, wx_c, wh, b4, w_up, b_up, w1, b1, w2, b2,
+             wq, bq, emb_t, cond, mask, h0, c0, prev0, win0, ids_out,
+             h_s, c_s, prev_s, win_s, up_s) = refs
 
         chunk = pl.program_id(0)
 
@@ -185,6 +205,11 @@ def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature):
             return 0
 
         jax.lax.fori_loop(0, C * SPC, frame_step, 0, unroll=False)
+        if emit_state:
+            # carried state for streaming continuation (written every
+            # chunk, same block: last write wins)
+            state_out[:] = jnp.concatenate(
+                [h_s[:], c_s[:], prev_s[:], win_s[:]], axis=-1)
 
     return kernel
 
@@ -192,16 +217,20 @@ def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature):
 @functools.partial(
     jax.jit,
     static_argnames=("T_c", "D", "FS", "RF", "E", "H", "M", "Q", "SPC",
-                     "temperature", "chunk_frames", "interpret"))
+                     "temperature", "chunk_frames", "interpret",
+                     "emit_state"))
 def fused_vocoder_decode(kp, cond, mask, init, seed, *, T_c, D, FS, RF, E,
                          H, M, Q, SPC, temperature=1.0, chunk_frames=8,
-                         interpret=False):
+                         interpret=False, emit_state=False):
     """Generate T_c * SPC * FS mu-law samples in one pallas_call.
 
     kp: tuple from prepare_vocoder_params; cond (T_c, B, D) NORMALIZED
     conditioning frames; mask (T_c, B) f32; init: (h, c, prev, win_emb)
     from make_vocoder_init; seed int32 (1,). Returns ids (T_samples, B)
-    int32.
+    int32; with emit_state=True, (ids, state (B, 2H+FS+RF*E)) — the
+    carried (h, c, prev, win) after the last frame, split by
+    `split_vocoder_state`, so a next call continues exactly here
+    (streaming synthesis).
     """
     _, B, _ = cond.shape
     C = chunk_frames
@@ -214,7 +243,8 @@ def fused_vocoder_decode(kp, cond, mask, init, seed, *, T_c, D, FS, RF, E,
         f"fused vocoder needs mlp_dim % 128 == 0 on hardware (got {M})"
     assert len(kp) == N_WEIGHTS
     kernel = _make_kernel(B=B, D=D, FS=FS, RF=RF, E=E, H=H, M=M, Q=Q,
-                          SPC=SPC, C=C, temperature=temperature)
+                          SPC=SPC, C=C, temperature=temperature,
+                          emit_state=emit_state)
 
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [vm() for _ in range(N_WEIGHTS)]
@@ -227,10 +257,15 @@ def fused_vocoder_decode(kp, cond, mask, init, seed, *, T_c, D, FS, RF, E,
     in_specs += [vm() for _ in range(4)]                      # init state
 
     samples_per_chunk = C * SPC * FS
-    out_specs = pl.BlockSpec((samples_per_chunk, B),
-                             lambda t, seed: (t, 0),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((T_c * SPC * FS, B), jnp.int32)
+    out_specs = [pl.BlockSpec((samples_per_chunk, B),
+                              lambda t, seed: (t, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((T_c * SPC * FS, B), jnp.int32)]
+    if emit_state:
+        SDIM = 2 * H + FS + RF * E
+        out_specs.append(pl.BlockSpec((B, SDIM), lambda t, seed: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, SDIM), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -257,7 +292,8 @@ def fused_vocoder_decode(kp, cond, mask, init, seed, *, T_c, D, FS, RF, E,
         interpret=interpret,
     )
     h, c, prev, win = init
-    return call(jnp.asarray(seed, jnp.int32), *kp,
-                cond.astype(kp[0].dtype), mask.astype(jnp.float32),
-                h.astype(jnp.float32), c.astype(jnp.float32),
-                prev.astype(jnp.float32), win.astype(jnp.float32))
+    out = call(jnp.asarray(seed, jnp.int32), *kp,
+               cond.astype(kp[0].dtype), mask.astype(jnp.float32),
+               h.astype(jnp.float32), c.astype(jnp.float32),
+               prev.astype(jnp.float32), win.astype(jnp.float32))
+    return tuple(out) if emit_state else out[0]

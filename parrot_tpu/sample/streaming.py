@@ -1,0 +1,195 @@
+"""Streaming Char2Wav synthesis: text -> audio in fixed-size chunks.
+
+The batch serving paths optimize throughput (whole utterances in one
+kernel call, docs/PERFORMANCE.md); this module optimizes LATENCY:
+time-to-first-audio. Both fused kernels support carried state across
+calls (`emit_state=True` returns the final decoder / vocoder state,
+split back into the next call's init), so the pipeline runs
+
+    per chunk of F frames (F * hop samples = F * 5 ms of audio):
+      fused reader decode  (F steps,  state in -> state out)
+      fused SampleRNN vocoder (F frames, state in -> state out)
+
+as ONE jitted program per chunk, and a host generator yields the audio
+as it is produced. With F=32 the first 160 ms of audio exist after a
+single chunk instead of after the whole utterance.
+
+The reference's generation is a per-frame Python loop followed by an
+offline vocoder pass — no streaming equivalent exists there.
+
+Single-device by design (streaming is a latency path; shard the batch
+across chips with the batch serving path instead). Greedy/f32 chunked
+output is bit-identical to the one-shot kernels (tested) — chunking
+changes the schedule, not the math.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parrot_tpu.config import SampleConfig
+from parrot_tpu.nn.attention import GravesWindow
+from parrot_tpu.vocoder.mulaw import mulaw_decode_jax
+
+
+class StreamChunk(NamedTuple):
+    """One yielded chunk of synthesis output (host-side arrays)."""
+
+    audio: np.ndarray      # (B, F * hop) float32 in [-1, 1]
+    frames: np.ndarray     # (B, F, D) RAW vocoder frames
+    live: np.ndarray       # (B, F) 1.0 where the row was still generating
+    done: np.ndarray       # (B,) True once a row's window passed its text
+    ttfa_ms: float         # wall-clock ms from stream() start to this yield
+
+
+class StreamingSynthesizer:
+    """Chunked text->audio with carried kernel state.
+
+    model/params/norm: the reader (Parrot) triple; vmodel/vparams: the
+    SampleRNN vocoder (trained under the SAME conditioning stats —
+    generate.py / train_joint.py exports guarantee this).
+    """
+
+    def __init__(self, model, params, norm, vmodel, vparams,
+                 cfg: Optional[SampleConfig] = None,
+                 vocoder_temperature: float = 1.0,
+                 interpret: bool = False):
+        self.model = model
+        self.params = params
+        self.norm = {k: jnp.asarray(v) for k, v in norm.items()}
+        self.vmodel = vmodel
+        self.vparams = vparams
+        self.cfg = cfg if cfg is not None else SampleConfig()
+        self.vocoder_temperature = float(vocoder_temperature)
+        self.interpret = interpret
+        self._cache = {}
+
+    # ------------------------------------------------------------------
+    def _chunk_fn(self, B, U, F):
+        """One jitted program: F reader steps + F vocoder frames, state
+        threaded in and out of both kernels."""
+        key = (B, U, F)
+        if key in self._cache:
+            return self._cache[key]
+
+        from parrot_tpu.ops.fused_decode import (fused_decode,
+                                                 prepare_params,
+                                                 split_state)
+        from parrot_tpu.ops.fused_vocoder import (fused_vocoder_decode,
+                                                  prepare_vocoder_params,
+                                                  split_vocoder_state)
+        model, vmodel, cfg = self.model, self.vmodel, self.cfg
+        vcfg = vmodel.cfg
+        norm = self.norm
+        wdt = (jnp.bfloat16 if cfg.fused_weight_dtype == "bfloat16"
+               else jnp.float32)
+        # one reader grid step per call; vocoder chunks of 8 frames
+        assert F % 8 == 0, f"frame_chunk {F} must be a multiple of 8"
+        VC = 8 if F % 16 else 16
+
+        def run(params, vparams, enc, text_mask, speaker, dstate_flat,
+                vstate, seed):
+            kp = prepare_params(model, params, speaker, B, weight_dtype=wdt)
+            frames_n, kappas, dflat = fused_decode(
+                kp, enc, text_mask, dstate_flat, seed,
+                T=F, D=model.D, E=model.E, H=model.H, K=model.K,
+                M=model.cfg.num_mixtures, L=model.L,
+                alignment=model.cfg.attention_alignment,
+                bias=cfg.sampling_bias,
+                min_log_sigma=model.cfg.min_log_sigma,
+                is_gmm=(model.cfg.which_cost == "GMM"),
+                layer_norm=model.cfg.layer_norm, chunk_steps=F,
+                stop_threshold=cfg.stop_threshold,
+                interpret=self.interpret, emit_state=True)
+            # stop bookkeeping (same criterion as the batch path)
+            text_lengths = text_mask.sum(-1)
+            mass = jax.vmap(GravesWindow.stop_mass,
+                            in_axes=(0, None))(kappas, text_lengths)
+            live = (mass <= cfg.stop_threshold).astype(jnp.float32).T
+            done = mass[-1] > cfg.stop_threshold          # (B,)
+
+            # the reader's normalized output IS the vocoder's normalized
+            # conditioning (shared stats): hand it over directly and
+            # de-normalize only for the returned frames
+            vkp = prepare_vocoder_params(vmodel, vparams, wdt)
+            cond_n = frames_n.astype(jnp.float32)          # (F, B, D)
+            ids, vflat = fused_vocoder_decode(
+                vkp, cond_n, live.T, (vstate[0], vstate[1], vstate[2],
+                                      vstate[3]), seed,
+                T_c=F, D=vcfg.cond_dim, FS=vcfg.frame_size,
+                RF=vcfg.rf_size, E=vcfg.embed_dim, H=vcfg.rnn_dim,
+                M=vcfg.mlp_dim, Q=vcfg.quantization,
+                SPC=vcfg.steps_per_cond,
+                temperature=self.vocoder_temperature, chunk_frames=VC,
+                interpret=self.interpret, emit_state=True)
+            audio = mulaw_decode_jax(ids.T, vcfg.quantization)  # (B, F*hop)
+            raw = (frames_n * norm["std"] + norm["mean"]).transpose(1, 0, 2)
+            return (audio, raw, live, done,
+                    split_state(dflat, L=model.L, H=model.H, K=model.K,
+                                E=model.E, D=model.D),
+                    split_vocoder_state(vflat, H=vcfg.rnn_dim,
+                                        FS=vcfg.frame_size,
+                                        RF=vcfg.rf_size,
+                                        E=vcfg.embed_dim))
+
+        fn = jax.jit(run)
+        self._cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def stream(self, text, text_mask, speaker=None, key=None,
+               frame_chunk: int = 32,
+               max_steps: Optional[int] = None) -> Iterator[StreamChunk]:
+        """Yield StreamChunks until every row's window passes its text
+        end (or max_steps frames). text (B, U) int32; text_mask (B, U).
+        """
+        import time
+
+        from parrot_tpu.ops.fused_decode import flatten_state
+        from parrot_tpu.ops.fused_vocoder import make_vocoder_init
+
+        t0 = time.time()
+        text = jnp.asarray(text)
+        text_mask = jnp.asarray(text_mask, jnp.float32)
+        B, U = text.shape
+        F = int(frame_chunk)
+        if speaker is None:
+            speaker = jnp.zeros((B,), jnp.int32)
+        else:
+            speaker = jnp.asarray(speaker, jnp.int32)
+        if key is None:
+            key = jax.random.PRNGKey(self.cfg.seed)
+        cap = max_steps if max_steps is not None else self.cfg.max_steps
+
+        @jax.jit
+        def prep(params, text, text_mask):
+            return self.model.encode(params, text, text_mask)
+
+        enc = prep(self.params, text, text_mask)
+        dstate = flatten_state(self.model.init_state(B, U))
+        vstate = make_vocoder_init(self.vparams,
+                                   self.vmodel.init_state(B),
+                                   self.vmodel.RF, self.vmodel.E)
+        fn = self._chunk_fn(B, U, F)
+
+        steps = 0
+        while steps < cap:
+            key, sub = jax.random.split(key)
+            seed = jax.random.randint(sub, (1,), 0, 2**31 - 1,
+                                      dtype=jnp.int32)
+            audio, raw, live, done, dstate, vstate = fn(
+                self.params, self.vparams, enc, text_mask, speaker,
+                dstate, vstate, seed)
+            audio = np.asarray(audio)  # host sync: the chunk is ready
+            yield StreamChunk(audio=audio, frames=np.asarray(raw),
+                              live=np.asarray(live),
+                              done=np.asarray(done),
+                              ttfa_ms=(time.time() - t0) * 1e3)
+            steps += F
+            if bool(np.all(np.asarray(done))):
+                return
