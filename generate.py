@@ -68,6 +68,14 @@ def main(argv=None):
                            args.samples_name)
     os.makedirs(out_dir, exist_ok=True)
 
+    if args.stream:
+        if not args.neural_vocoder:
+            sys.exit("--stream requires --neural_vocoder (streaming is the "
+                     "reader + neural vocoder pipeline)")
+        stream_generate(model, params, norm, cfg, args, ids, speakers,
+                        corpus, out_dir)
+        return
+
     results = [None] * len(ids)
     for idx, text, mask in bucket_by_length(ids, cfg.sample.batch_size):
         spk = np.asarray([speakers[i] for i in idx], np.int32)
@@ -103,6 +111,61 @@ def main(argv=None):
         neural_synthesize(neural, results, out_dir, corpus,
                           temperature=args.vocoder_temperature,
                           seed=cfg.sample.seed)
+
+
+def stream_generate(model, params, norm, cfg, args, ids, speakers, corpus,
+                    out_dir):
+    """Streaming path: chunked text->audio with carried kernel state
+    (sample/streaming.py). Writes sample_*_stream.wav and prints
+    time-to-first-audio + per-chunk cadence — the latency-serving mode
+    the reference (per-frame Python loop + offline vocoder) has no
+    equivalent of."""
+    import jax
+
+    from parrot_tpu.sample.streaming import StreamingSynthesizer
+    from parrot_tpu.train.checkpoint import load_vocoder_for_inference
+    from parrot_tpu.vocoder import write_wav
+
+    try:
+        vmodel, vparams, _, vcfg, vstep = load_vocoder_for_inference(
+            cfg.train.save_dir, args.neural_vocoder, args.checkpoint)
+    except (FileNotFoundError, ValueError) as e:
+        sys.exit(str(e))
+    print(f"neural vocoder '{args.neural_vocoder}' loaded (step={vstep})")
+    fs = int(corpus._f.attrs.get("sample_rate", vcfg.sample_rate))
+
+    B, U = len(ids), max(len(t) for t in ids)
+    text = np.zeros((B, U), np.int32)
+    mask = np.zeros((B, U), np.float32)
+    for r, t in enumerate(ids):
+        text[r, :len(t)] = t
+        mask[r, :len(t)] = 1.0
+    spk = np.asarray(speakers, np.int32)
+
+    syn = StreamingSynthesizer(
+        model, params, norm, vmodel, vparams, cfg.sample,
+        vocoder_temperature=args.vocoder_temperature)
+    hop = vcfg.hop
+    audio_parts, live_parts = [], []
+    for k, ch in enumerate(syn.stream(text, mask, spk,
+                                      key=jax.random.PRNGKey(
+                                          cfg.sample.seed),
+                                      frame_chunk=args.frame_chunk,
+                                      max_steps=cfg.sample.max_steps)):
+        audio_parts.append(ch.audio)
+        live_parts.append(ch.live)
+        # the first chunk's wall time includes the one-time jit compile;
+        # warm-cache TTFA is what scripts/bench_stream.py measures
+        label = "first chunk (incl. compile)" if k == 0 else f"chunk {k}"
+        print(f"{label}: +{args.frame_chunk * 5} ms of audio at "
+              f"t={ch.ttfa_ms:.0f} ms ({int(ch.done.sum())}/{B} rows done)")
+    audio = np.concatenate(audio_parts, axis=1)
+    live = np.concatenate(live_parts, axis=1)          # (B, total frames)
+    for r in range(B):
+        n_frames = int(live[r].sum())
+        path = os.path.join(out_dir, f"sample_{r}_stream.wav")
+        write_wav(path, audio[r, :max(n_frames, 1) * hop], fs)
+        print(f"sample {r}: {n_frames} frames streamed -> {path}")
 
 
 def neural_synthesize(neural, results, out_dir, corpus, temperature=1.0,

@@ -58,7 +58,7 @@ class StreamingSynthesizer:
     def __init__(self, model, params, norm, vmodel, vparams,
                  cfg: Optional[SampleConfig] = None,
                  vocoder_temperature: float = 1.0,
-                 interpret: bool = False):
+                 interpret: Optional[bool] = None):
         self.model = model
         self.params = params
         self.norm = {k: jnp.asarray(v) for k, v in norm.items()}
@@ -66,6 +66,13 @@ class StreamingSynthesizer:
         self.vparams = vparams
         self.cfg = cfg if cfg is not None else SampleConfig()
         self.vocoder_temperature = float(vocoder_temperature)
+        if interpret is None:
+            # on CPU the kernels run in interpret mode (note: the GMM
+            # head's in-kernel PRNG does not lower on CPU — streaming a
+            # GMM model off-TPU requires an MSE head or hardware). Same
+            # backend condition as Sampler: anything non-CPU is a real
+            # TPU lowering target (the axon backend reports "axon").
+            interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
         self._cache = {}
 

@@ -108,6 +108,13 @@ def generate_parse(argv=None):
     p.add_argument("--vocoder_temperature", type=float, default=1.0,
                    help="neural-vocoder softmax temperature "
                         "(<= 0 = greedy)")
+    p.add_argument("--stream", action="store_true",
+                   help="streaming synthesis (requires --neural_vocoder): "
+                        "chunked text->audio with carried kernel state; "
+                        "prints time-to-first-audio and per-chunk cadence, "
+                        "writes sample_*_stream.wav")
+    p.add_argument("--frame_chunk", type=int, default=32,
+                   help="--stream chunk size in frames (x 5 ms of audio)")
     args = p.parse_args(argv)
     cfg = _build_config(args, train_keys=["model_name", "save_dir"])
     sample_over = {}

@@ -160,6 +160,39 @@ def main():
     check("vocoder kernel: masked frames emit silence",
           bool((q1[0, 12 * vcfg.hop:] == vm.zero_id).all()))
 
+    # streaming continuation (emit_state): two chunked calls with the
+    # carried state must equal the one-shot call bit-for-bit (greedy
+    # f32 — the deterministic mode; sample/streaming.py relies on this)
+    from parrot_tpu.ops.fused_vocoder import (
+        prepare_vocoder_params, make_vocoder_init, fused_vocoder_decode,
+        split_vocoder_state)
+
+    @jax.jit
+    def voc_stream_two(vparams, cond_n, vmask):
+        vkp = prepare_vocoder_params(vm, vparams, jnp.float32)
+        init = make_vocoder_init(vparams, vm.init_state(B), vm.RF, vm.E)
+        kw = dict(D=7, FS=vcfg.frame_size, RF=vcfg.rf_size,
+                  E=vcfg.embed_dim, H=vcfg.rnn_dim, M=vcfg.mlp_dim,
+                  Q=vcfg.quantization, SPC=vcfg.steps_per_cond,
+                  temperature=0.0, chunk_frames=8, emit_state=True)
+        seed = jnp.zeros((1,), jnp.int32)
+        ids_full, _ = fused_vocoder_decode(
+            vkp, cond_n, vmask.T, init, seed, T_c=Sc, **kw)
+        h = Sc // 2
+        ids_a, st = fused_vocoder_decode(
+            vkp, cond_n[:h], vmask.T[:h], init, seed, T_c=h, **kw)
+        ids_b, _ = fused_vocoder_decode(
+            vkp, cond_n[h:], vmask.T[h:],
+            split_vocoder_state(st, H=vcfg.rnn_dim, FS=vcfg.frame_size,
+                                RF=vcfg.rf_size, E=vcfg.embed_dim),
+            seed, T_c=h, **kw)
+        return ids_full, jnp.concatenate([ids_a, ids_b], axis=0)
+
+    cond_n = ((vcond - vnorm["mean"]) / vnorm["std"]).transpose(1, 0, 2)
+    ids_full, ids_chunked = voc_stream_two(vparams, cond_n, vmask)
+    check("vocoder kernel: chunked emit_state continuation == one-shot",
+          bool((np.asarray(ids_full) == np.asarray(ids_chunked)).all()))
+
     print(f"\n{len(failures)} failures" if failures else "\nALL CHECKS PASS")
     sys.exit(1 if failures else 0)
 
