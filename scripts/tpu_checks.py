@@ -193,6 +193,38 @@ def main():
     check("vocoder kernel: chunked emit_state continuation == one-shot",
           bool((np.asarray(ids_full) == np.asarray(ids_chunked)).all()))
 
+    # sampled-distribution stats: pin the sample MLP so the per-sample
+    # logits are a KNOWN constant vector (w1=w2=0, generous positive
+    # biases keep the ReLUs linear-on-constant; head weights 0, head
+    # bias = target logits), then the in-kernel Gumbel-max frequencies
+    # must match softmax(logits / temperature). A sign/scale error in
+    # the vocoder's Gumbel or temperature plumbing fails this; greedy
+    # parity and seed tests alone would not catch it.
+    import jax.tree_util as jtu
+    Q = vcfg.quantization
+    target = np.full((Q,), -3.0, np.float32)
+    hot = [10, 100, 200]
+    target[hot] = [1.5, 2.5, 0.5]
+    vp2 = jtu.tree_map(jnp.zeros_like, vparams)
+    vp2["mlp1"]["b"] = jnp.full_like(vparams["mlp1"]["b"], 1.0)
+    vp2["mlp2"]["b"] = jnp.full_like(vparams["mlp2"]["b"], 1.0)
+    vp2["head"]["b"] = jnp.asarray(target)
+    for temp in (1.0, 0.7):
+        qs = []
+        for seed in range(4):
+            q_s, _ = vm.generate_fused(vp2, vnorm, vcond, jnp.ones_like(vmask),
+                                       seed=seed, temperature=temp)
+            qs.append(np.asarray(q_s))
+        ids = np.concatenate(qs, axis=0).ravel()          # 4*B*Sc*hop draws
+        freq = np.bincount(ids, minlength=Q) / ids.size
+        want = np.exp(target / temp)
+        want = want / want.sum()
+        # ~41k draws: dominant-bin frequencies are tight to ~0.5%
+        ok = all(abs(freq[h] - want[h]) < 0.015 for h in hot)
+        check(f"vocoder kernel: sampled id frequencies (T={temp})", ok,
+              f"(got {[round(float(freq[h]), 3) for h in hot]} want "
+              f"{[round(float(want[h]), 3) for h in hot]})")
+
     print(f"\n{len(failures)} failures" if failures else "\nALL CHECKS PASS")
     sys.exit(1 if failures else 0)
 
