@@ -110,7 +110,7 @@ def main(argv=None):
     if neural is not None:
         neural_synthesize(neural, results, out_dir, corpus,
                           temperature=args.vocoder_temperature,
-                          seed=cfg.sample.seed)
+                          seed=cfg.sample.seed, speakers=speakers)
 
 
 def stream_generate(model, params, norm, cfg, args, ids, speakers, corpus,
@@ -169,7 +169,7 @@ def stream_generate(model, params, norm, cfg, args, ids, speakers, corpus,
 
 
 def neural_synthesize(neural, results, out_dir, corpus, temperature=1.0,
-                      seed=0):
+                      seed=0, speakers=None):
     """SampleRNN synthesis of generated frames -> *_neural.wav.
 
     One batched call over all samples (frames padded to the longest,
@@ -192,16 +192,19 @@ def neural_synthesize(neural, results, out_dir, corpus, temperature=1.0,
     for i, (frames, length, _, _) in enumerate(results):
         cond[i, :length] = frames[:length]
         mask[i, :length] = 1.0
+    spk = (jnp.asarray(np.asarray(speakers, np.int32))
+           if speakers is not None else None)
     use_fused = (jax.default_backend() == "tpu"
                  and vcfg.mlp_dim % 128 == 0)
     if use_fused:
         _, audio = model.generate_fused(
             params, vnorm, jnp.asarray(cond), jnp.asarray(mask),
-            seed=seed, temperature=temperature)
+            seed=seed, temperature=temperature, speaker=spk)
     else:
         _, audio, _ = jax.jit(
             lambda c, m, k: model.generate(params, vnorm, c, m, k,
-                                           temperature=temperature)
+                                           temperature=temperature,
+                                           speaker=spk)
         )(jnp.asarray(cond), jnp.asarray(mask), jax.random.PRNGKey(seed))
     audio = np.asarray(audio)
     for i, (_, length, _, _) in enumerate(results):

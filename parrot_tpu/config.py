@@ -158,6 +158,12 @@ class SampleRNNConfig:
     frame_period_ms: float = 5.0  # conditioning frame hop (WORLD default)
     layer_norm: bool = False
     compute_dtype: str = "float32"
+    # --- speaker conditioning (Char2Wav trains speaker-conditioned
+    # vocoders for multi-speaker corpora; embedding feeds the frame
+    # tier, so every sample is conditioned through the upsampler) ---
+    use_speaker: bool = False
+    num_speakers: int = 1
+    speaker_dim: int = 16
 
     @property
     def hop(self) -> int:

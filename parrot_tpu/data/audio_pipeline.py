@@ -49,6 +49,7 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int], batch_size: int,
     cond = np.zeros((B_local, n_seg * S, D), np.float32)
     cmask = np.zeros((B_local, n_seg * S), np.float32)
     audio = np.full((B_local, n_seg * S * hop), MULAW_ZERO, np.int32)
+    speaker = np.zeros((B_local,), np.int32)
     for row, i in enumerate(idx[rlo:rlo + B_local]):
         f = corpus.features(i)
         a = corpus.audio(i)
@@ -57,6 +58,7 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int], batch_size: int,
         cond[row, :t] = f
         cmask[row, :t] = 1.0
         audio[row, :t * hop] = a
+        speaker[row] = corpus.speaker(i)
     for s in range(n_seg):
         lo, hi = s * S, (s + 1) * S
         yield VocoderBatch(
@@ -64,6 +66,7 @@ def _segment_batch(corpus: H5Corpus, idx: Sequence[int], batch_size: int,
             cond=cond[:, lo:hi],
             cond_mask=cmask[:, lo:hi],
             start_flag=np.float32(1.0 if s == 0 else 0.0),
+            speaker=speaker,
         )
 
 

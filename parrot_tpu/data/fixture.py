@@ -65,12 +65,15 @@ def make_audio_fixture_corpus(
     fs: int = 16000,
     char_ms: float = 120.0,
     seed: int = 0,
+    num_speakers: int = 1,
 ) -> str:
     """End-to-end fixture with REAL vocoder features: each token id is a
     synthetic 'phoneme' (an f0 + resonant-filter pair); utterance audio is
     the concatenation of its tokens' vowel segments; features come from
     actual WORLD analysis. Trains the full text -> frames -> waveform
-    pipeline without any real corpus."""
+    pipeline without any real corpus. num_speakers > 1 gives each
+    speaker a distinct voice (per-speaker pitch/formant scale), so
+    speaker-conditioned models have signal to learn."""
     import h5py
     from scipy.signal import lfilter
 
@@ -82,17 +85,22 @@ def make_audio_fixture_corpus(
     # per-token (f0, resonance) "phoneme inventory"
     f0s = rng.uniform(100.0, 260.0, size=vocab_size)
     res = rng.uniform(300.0, 2500.0, size=vocab_size)
+    # per-speaker voice: pitch scale + formant scale
+    f0_scale = rng.uniform(0.75, 1.35, size=num_speakers)
+    res_scale = rng.uniform(0.8, 1.25, size=num_speakers)
     seg_len = int(fs * char_ms / 1000.0)
 
     features, texts, speakers, audio_q = [], [], [], []
-    for _ in range(num_utterances):
+    for j in range(num_utterances):
+        spk = j % num_speakers  # every speaker lands in both splits
         u = int(rng.integers(min_chars, max_chars + 1))
         ids = rng.integers(1, vocab_size, size=u).astype(np.int32)
         audio = []
         for k in ids:
-            phase = np.cumsum(np.full(seg_len, f0s[k] / fs))
+            phase = np.cumsum(np.full(seg_len, f0_scale[spk] * f0s[k] / fs))
             pulses = np.diff(np.floor(phase), prepend=0.0)
-            seg = lfilter([1.0], [1.0, -1.8 * np.cos(2 * np.pi * res[k] / fs),
+            r = min(res_scale[spk] * res[k], 0.45 * fs)
+            seg = lfilter([1.0], [1.0, -1.8 * np.cos(2 * np.pi * r / fs),
                                   0.9], pulses)
             audio.append(seg)
         x = np.concatenate(audio)
@@ -104,13 +112,13 @@ def make_audio_fixture_corpus(
         # frame-aligned mu-law audio for neural-vocoder training
         audio_q.append(mulaw_encode(0.95 * x[:feat.shape[0] * hop]))
         texts.append(ids)
-        speakers.append(0)
+        speakers.append(spk)
 
     n_valid = max(2, num_utterances // 8)
     splits = {"train": list(range(num_utterances - n_valid)),
               "valid": list(range(num_utterances - n_valid, num_utterances))}
     write_corpus(path, features, texts, speakers, vocab_size=vocab_size,
-                 splits=splits, num_speakers=1,
+                 splits=splits, num_speakers=num_speakers,
                  audio=audio_q, sample_rate=fs, audio_hop=hop)
     with h5py.File(path, "a") as f:
         f.attrs["sample_rate"] = fs

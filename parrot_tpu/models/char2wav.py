@@ -93,7 +93,9 @@ class Char2Wav:
             cond = jax.lax.stop_gradient(cond)
         vbatch = VocoderBatch(audio=jbatch.audio, cond=cond,
                               cond_mask=batch.features_mask,
-                              start_flag=batch.start_flag)
+                              start_flag=batch.start_flag,
+                              speaker=(batch.speaker
+                                       if self.vcfg.use_speaker else None))
         v_loss, v_state, v_metrics = self.vocoder.compute_cost(
             params["vocoder"], norm, vbatch, state.vocoder)
         loss = frame_loss_weight * p_loss + audio_loss_weight * v_loss

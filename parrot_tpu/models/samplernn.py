@@ -57,6 +57,7 @@ class VocoderBatch(NamedTuple):
     cond: jnp.ndarray       # (B, Sc, D) RAW conditioning feature frames
     cond_mask: jnp.ndarray  # (B, Sc) 1.0 for valid conditioning frames
     start_flag: jnp.ndarray  # scalar: 1.0 at the start of an utterance batch
+    speaker: Optional[jnp.ndarray] = None  # (B,) int32 (use_speaker models)
 
 
 class SampleRNN:
@@ -79,9 +80,10 @@ class SampleRNN:
 
     def init_params(self, key) -> Dict[str, Any]:
         cfg = self.cfg
-        keys = jax.random.split(key, 6)
-        return {
-            "tier": LSTMCell.init(keys[0], self.FS + self.D, self.H,
+        keys = jax.random.split(key, 7)
+        sd = cfg.speaker_dim if cfg.use_speaker else 0
+        p = {
+            "tier": LSTMCell.init(keys[0], self.FS + self.D + sd, self.H,
                                   layer_norm=cfg.layer_norm),
             "up": Linear.init(keys[1], self.H, self.FS * self.M),
             "embed": Embedding.init(keys[2], self.Q, self.E),
@@ -89,6 +91,9 @@ class SampleRNN:
             "mlp2": Linear.init(keys[4], self.M, self.M),
             "head": Linear.init(keys[5], self.M, self.Q),
         }
+        if cfg.use_speaker:
+            p["spk"] = Embedding.init(keys[6], cfg.num_speakers, sd)
+        return p
 
     def init_state(self, batch_size: int) -> SampleRNNState:
         return SampleRNNState(
@@ -114,11 +119,19 @@ class SampleRNN:
                  range(1, self.RF + 1)]
         return jnp.concatenate(slots, axis=-1)                # (B, T, RF*E)
 
+    def _speaker_vec(self, params, speaker, batch_size):
+        """(B, speaker_dim) embedding, or None when unconditioned."""
+        if not self.cfg.use_speaker:
+            return None
+        if speaker is None:
+            speaker = jnp.zeros((batch_size,), jnp.int32)
+        return Embedding.apply(params["spk"], speaker)        # (B, sd)
+
     def _frame_tier(self, params, norm, x_frames_prev, cond, cond_mask,
-                    state: SampleRNNState):
+                    state: SampleRNNState, spk=None):
         """Run the frame-tier LSTM. x_frames_prev: (B, T_f, FS) previous
-        frame per step; cond: (B, Sc, D) raw. Returns (up (B, T, M),
-        (h, c) final, mask_f (B, T_f))."""
+        frame per step; cond: (B, Sc, D) raw; spk: (B, sd) or None.
+        Returns (up (B, T, M), (h, c) final, mask_f (B, T_f))."""
         cfg = self.cfg
         dt = cfg.compute_dtype
         spc = cfg.steps_per_cond
@@ -126,8 +139,11 @@ class SampleRNN:
         cond_n = (cond - norm["mean"]) / norm["std"]          # (B, Sc, D)
         cond_up = jnp.repeat(cond_n, spc, axis=1)             # (B, T_f, D)
         mask_f = jnp.repeat(cond_mask, spc, axis=1)           # (B, T_f)
-        tier_in = jnp.concatenate(
-            [x_frames_prev, cond_up.astype(jnp.float32)], axis=-1)
+        parts = [x_frames_prev, cond_up.astype(jnp.float32)]
+        if spk is not None:
+            parts.append(jnp.broadcast_to(spk[:, None, :],
+                                          (B, T_f, spk.shape[-1])))
+        tier_in = jnp.concatenate(parts, axis=-1)
         hs, (h, c) = lstm_scan(params["tier"], tier_in.transpose(1, 0, 2),
                                (state.h, state.c), mask_f.T,
                                compute_dtype=dt)              # (T_f, B, H)
@@ -174,8 +190,10 @@ class SampleRNN:
         frames = x.reshape(B, T_f, self.FS)
         frames_prev = jnp.concatenate(
             [state.prev[:, None, :], frames[:, :-1]], axis=1)
+        spk = self._speaker_vec(params, batch.speaker, B)
         up, (h, c), mask_f = self._frame_tier(
-            params, norm, frames_prev, batch.cond, batch.cond_mask, state)
+            params, norm, frames_prev, batch.cond, batch.cond_mask, state,
+            spk=spk)
 
         win = self._window_embed(params, q, state.prev_q)     # (B, T, RF*E)
         logits = self._sample_logits(params, win, up)         # (B, T, Q)
@@ -206,8 +224,9 @@ class SampleRNN:
     # ------------------------------------------------------------------
     def generate(self, params, norm, cond, cond_mask, key,
                  temperature: float = 1.0,
-                 state: Optional[SampleRNNState] = None):
-        """Autoregressive sampling. cond: (B, Sc, D) RAW frames.
+                 state: Optional[SampleRNNState] = None, speaker=None):
+        """Autoregressive sampling. cond: (B, Sc, D) RAW frames;
+        speaker: (B,) int32 ids for use_speaker models.
 
         temperature <= 0 means greedy argmax. Returns (q (B, T) int32,
         audio (B, T) float32 in [-1, 1], final state). Masked frames
@@ -223,6 +242,13 @@ class SampleRNN:
 
         cond_n = (cond - norm["mean"]) / norm["std"]
         cond_up = jnp.repeat(cond_n.astype(jnp.float32), spc, axis=1)
+        spk = self._speaker_vec(params, speaker, B)
+        if spk is not None:
+            # fold the per-row speaker vector into the conditioning the
+            # frame tier sees (same concat order as training)
+            cond_up = jnp.concatenate(
+                [cond_up, jnp.broadcast_to(spk[:, None, :],
+                                           (B, T_f, spk.shape[-1]))], -1)
         mask_f = jnp.repeat(cond_mask, spc, axis=1)           # (B, T_f)
         greedy = temperature <= 0.0
         inv_temp = 0.0 if greedy else 1.0 / float(temperature)
@@ -275,7 +301,8 @@ class SampleRNN:
     def generate_fused(self, params, norm, cond, cond_mask, seed,
                        temperature: float = 1.0, chunk_frames: int = 16,
                        weight_dtype=None, interpret: bool = False,
-                       state: Optional[SampleRNNState] = None, mesh=None):
+                       state: Optional[SampleRNNState] = None, mesh=None,
+                       speaker=None):
         """Fused-kernel generation (ops/fused_vocoder.py): the whole
         waveform in one pallas_call, weights VMEM-resident, in-kernel
         PRNG sampling. ~6x the plain path's throughput on a v5e
@@ -317,13 +344,21 @@ class SampleRNN:
             state = jax.tree.map(
                 lambda z: jnp.concatenate(
                     [z, jnp.zeros((pad_b,) + z.shape[1:], z.dtype)]), state)
+        if self.cfg.use_speaker and speaker is None:
+            speaker = jnp.zeros((B,), jnp.int32)
+        if speaker is not None:
+            speaker = jnp.pad(jnp.asarray(speaker, jnp.int32), (0, pad_b))
+        else:
+            speaker = jnp.zeros((B + pad_b,), jnp.int32)  # placeholder arg
 
         sharded = mesh is not None and n_dev > 1
 
-        def run(params, cond_t, mask_t, h, c, prev, prev_q, seed_arr):
+        def run(params, cond_t, mask_t, h, c, prev, prev_q, seed_arr, spk):
             if sharded:
                 seed_arr = seed_arr + jax.lax.axis_index("data")
-            kp = prepare_vocoder_params(self, params, weight_dtype)
+            kp = prepare_vocoder_params(
+                self, params, weight_dtype,
+                speaker=spk if self.cfg.use_speaker else None)
             st = SampleRNNState(h=h, c=c, prev=prev, prev_q=prev_q)
             init = make_vocoder_init(params, st, self.RF, self.E)
             return fused_vocoder_decode(
@@ -339,7 +374,8 @@ class SampleRNN:
             run = shard_map(
                 run, mesh=mesh,
                 in_specs=(P(), P(None, "data"), P(None, "data"),
-                          P("data"), P("data"), P("data"), P("data"), P()),
+                          P("data"), P("data"), P("data"), P("data"), P(),
+                          P("data")),
                 out_specs=P(None, "data"), check_vma=False)
         key = (Sc + pad, B + pad_b, temperature, C, interpret,
                str(weight_dtype), id(mesh))
@@ -351,6 +387,6 @@ class SampleRNN:
             fn = cache[key] = jax.jit(run)
         ids = fn(params, cond_n.transpose(1, 0, 2), mask_p.T,
                  state.h, state.c, state.prev, state.prev_q,
-                 jnp.full((1,), seed, jnp.int32))
+                 jnp.full((1,), seed, jnp.int32), speaker)
         q = ids.T[:B, :Sc * cfg.hop]                           # (B, T)
         return q, mulaw_decode_jax(q, self.Q)

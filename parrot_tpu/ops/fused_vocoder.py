@@ -34,23 +34,35 @@ from parrot_tpu.vocoder.mulaw import mulaw_decode_jax
 N_WEIGHTS = 13  # wx_x, wx_c, wh, b, w_up, b_up, w1, b1, w2, b2, wq, bq, emb
 
 
-def prepare_vocoder_params(model, params,
-                           weight_dtype=jnp.bfloat16) -> Tuple[jax.Array, ...]:
+def prepare_vocoder_params(model, params, weight_dtype=jnp.bfloat16,
+                           speaker=None) -> Tuple[jax.Array, ...]:
     """SampleRNN param pytree -> the kernel's flat weight tuple.
 
     Splits the tier cell's wx into its prev-frame (FS rows) and
     conditioning (D rows) blocks, mirroring the concat order in
-    SampleRNN.generate's tier input.
+    SampleRNN.generate's tier input. For use_speaker models the
+    speaker rows of wx fold into a PER-ROW gate bias
+    (b + emb[speaker] @ wx_spk, shape (B, 4H)) — the same
+    fold-constant-conditioning-into-the-bias trick as the reader
+    kernel's speaker handling; `speaker` is then required.
     """
     FS, D = model.FS, model.D
     tier = params["tier"]
     c = lambda a: a.astype(weight_dtype)
     f = lambda a: a.astype(jnp.float32)
+    b4 = f(tier["b"])[None, :]         # (1, 4H)
+    if model.cfg.use_speaker:
+        if speaker is None:
+            raise ValueError("use_speaker model: prepare_vocoder_params "
+                             "needs speaker ids")
+        sv = jnp.take(params["spk"]["table"], speaker, axis=0)  # (B, sd)
+        b4 = b4 + jnp.dot(sv.astype(jnp.float32),
+                          f(tier["wx"][FS + D:]))               # (B, 4H)
     return (
         c(tier["wx"][:FS]),            # (FS, 4H)
         c(tier["wx"][FS:FS + D]),      # (D, 4H)
         c(tier["wh"]),                 # (H, 4H)
-        f(tier["b"])[None, :],         # (1, 4H)
+        b4,                            # (1 or B, 4H)
         c(params["up"]["w"]),          # (H, FS*M)
         f(params["up"]["b"])[None, :],
         c(params["mlp1"]["w"]),        # (RF*E, M)

@@ -70,8 +70,7 @@ class StreamingSynthesizer:
             # on CPU the kernels run in interpret mode (note: the GMM
             # head's in-kernel PRNG does not lower on CPU — streaming a
             # GMM model off-TPU requires an MSE head or hardware). Same
-            # backend condition as Sampler: anything non-CPU is a real
-            # TPU lowering target (the axon backend reports "axon").
+            # backend condition as Sampler.
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
         self._cache = {}
@@ -123,7 +122,9 @@ class StreamingSynthesizer:
             # the reader's normalized output IS the vocoder's normalized
             # conditioning (shared stats): hand it over directly and
             # de-normalize only for the returned frames
-            vkp = prepare_vocoder_params(vmodel, vparams, wdt)
+            vkp = prepare_vocoder_params(
+                vmodel, vparams, wdt,
+                speaker=speaker if vcfg.use_speaker else None)
             cond_n = frames_n.astype(jnp.float32)          # (F, B, D)
             ids, vflat = fused_vocoder_decode(
                 vkp, cond_n, live.T, (vstate[0], vstate[1], vstate[2],

@@ -27,12 +27,13 @@ def main():
                    help="audio fixture: real WORLD features + frame-"
                         "aligned mu-law audio (for train_vocoder.py / "
                         "end-to-end tests); ignores --frame_size/"
-                        "--frames_per_char/--num_speakers")
+                        "--frames_per_char")
     a = p.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(a.path)), exist_ok=True)
     if a.audio:
         make_audio_fixture_corpus(a.path, num_utterances=a.num_utterances,
-                                  vocab_size=a.vocab_size, seed=a.seed)
+                                  vocab_size=a.vocab_size, seed=a.seed,
+                                  num_speakers=a.num_speakers)
     else:
         make_fixture_corpus(a.path, num_utterances=a.num_utterances,
                             vocab_size=a.vocab_size, frame_size=a.frame_size,

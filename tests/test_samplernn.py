@@ -526,3 +526,102 @@ def test_vocoder_sigterm_flushes_checkpoint_and_resumes(tmp_path,
     assert r.returncode == 0, r.stdout + r.stderr
     m = re.search(r"done: step=(\d+)", r.stdout)
     assert m and int(m.group(1)) == flushed_step + 3, r.stdout
+
+
+# ---------------------------------------------------------------------------
+# speaker-conditioned vocoder (Char2Wav trains these for VCTK)
+# ---------------------------------------------------------------------------
+
+def _spk_setup(seed=11):
+    cfg = SampleRNNConfig(rnn_dim=24, mlp_dim=24, embed_dim=8, cond_dim=5,
+                          use_speaker=True, num_speakers=3, speaker_dim=4)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    norm = {"mean": jnp.zeros(5), "std": jnp.ones(5)}
+    return cfg, model, params, norm
+
+
+def test_speaker_conditioning_changes_output_and_cost():
+    cfg, model, params, norm = _spk_setup()
+    rng = np.random.default_rng(0)
+    B, Sc = 2, 4
+    cond = jnp.asarray(rng.normal(size=(B, Sc, 5)), jnp.float32)
+    mask = jnp.ones((B, Sc), jnp.float32)
+    batch = lambda spk: VocoderBatch(
+        audio=jnp.asarray(rng.integers(0, 256, (B, Sc * cfg.hop)),
+                          jnp.int32),
+        cond=cond, cond_mask=mask, start_flag=jnp.float32(1.0),
+        speaker=jnp.asarray(spk, jnp.int32))
+    rng = np.random.default_rng(0)  # same audio both times
+    b0 = batch([0, 0])
+    rng = np.random.default_rng(0)
+    b1 = batch([1, 2])
+    l0, _, _ = model.compute_cost(params, norm, b0, None)
+    l0b, _, _ = model.compute_cost(params, norm, b0, None)
+    l1, _, _ = model.compute_cost(params, norm, b1, None)
+    assert float(l0) == float(l0b)
+    assert abs(float(l0) - float(l1)) > 1e-6, "speaker id has no effect"
+    # greedy generation differs by speaker too
+    q0, _, _ = model.generate(params, norm, cond, mask,
+                              jax.random.PRNGKey(0), temperature=0.0,
+                              speaker=jnp.asarray([0, 0], jnp.int32))
+    q1, _, _ = model.generate(params, norm, cond, mask,
+                              jax.random.PRNGKey(0), temperature=0.0,
+                              speaker=jnp.asarray([1, 2], jnp.int32))
+    assert (np.asarray(q0) != np.asarray(q1)).any()
+
+
+def test_speaker_fused_greedy_parity_interpret():
+    """The kernel folds the speaker rows of the tier wx into a per-row
+    gate bias — greedy fused output must stay bit-identical to the
+    plain path for every row's distinct speaker."""
+    cfg, model, params, norm = _spk_setup()
+    rng = np.random.default_rng(5)
+    B, Sc = 3, 8
+    cond = jnp.asarray(rng.normal(size=(B, Sc, 5)), jnp.float32)
+    mask = jnp.ones((B, Sc), jnp.float32)
+    spk = jnp.asarray([2, 0, 1], jnp.int32)
+    q_ref, _, _ = model.generate(params, norm, cond, mask,
+                                 jax.random.PRNGKey(0), temperature=0.0,
+                                 speaker=spk)
+    q_f, _ = model.generate_fused(params, norm, cond, mask, seed=0,
+                                  temperature=0.0, interpret=True,
+                                  speaker=spk)
+    np.testing.assert_array_equal(np.asarray(q_ref), np.asarray(q_f))
+
+
+def test_vocoder_stream_carries_speaker(audio_corpus):
+    from parrot_tpu.data.audio_pipeline import vocoder_stream
+    seg = next(iter(vocoder_stream(audio_corpus, batch_size=4, seq_size=8,
+                                   split="train", training=False, epochs=1)))
+    assert seg.speaker is not None and seg.speaker.shape == (4,)
+    idx = list(audio_corpus.split("train"))[:4]
+    np.testing.assert_array_equal(
+        seg.speaker, [audio_corpus.speaker(i) for i in idx])
+
+
+def test_joint_gradients_reach_speaker_embedding(audio_corpus):
+    """Joint fine-tuning with a speaker-conditioned vocoder: the audio
+    NLL must reach the vocoder's speaker table."""
+    from parrot_tpu.config import ModelConfig
+    from parrot_tpu.data.pipeline import parrot_stream, DataConfig
+    from parrot_tpu.models.char2wav import Char2Wav
+    c = audio_corpus
+    pcfg = ModelConfig(frame_size=c.frame_size, vocab_size=c.vocab_size,
+                       embed_dim=8, encoder_dim=8, rnn_h_dim=16,
+                       decoder_layers=2, readouts_dim=16,
+                       attention_mixtures=2, num_mixtures=2)
+    vcfg = SampleRNNConfig(rnn_dim=16, mlp_dim=16, embed_dim=4,
+                           cond_dim=c.frame_size, use_speaker=True,
+                           num_speakers=max(c.num_speakers, 2),
+                           speaker_dim=4)
+    model = Char2Wav(pcfg, vcfg)
+    params = model.init_params(jax.random.PRNGKey(2))
+    norm = {"mean": jnp.asarray(c.mean), "std": jnp.asarray(c.std)}
+    jb = next(iter(parrot_stream(
+        c, DataConfig(batch_size=2, seq_size=6, max_text_len=12),
+        split="train", training=False, epochs=1, with_audio=True)))
+
+    g = jax.grad(lambda p: model.compute_cost(p, norm, jb, None)[0])(params)
+    spk_g = float(jnp.abs(g["vocoder"]["spk"]["table"]).sum())
+    assert np.isfinite(spk_g) and spk_g > 0

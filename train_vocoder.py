@@ -49,6 +49,10 @@ def parse(argv=None):
     p.add_argument("--frame_size", type=int, default=16)
     p.add_argument("--rf_size", type=int, default=4)
     p.add_argument("--layer_norm", action="store_true")
+    p.add_argument("--use_speaker", action="store_true",
+                   help="speaker-conditioned vocoder (multi-speaker "
+                        "corpora; Char2Wav trains these for VCTK)")
+    p.add_argument("--speaker_dim", type=int, default=16)
     p.add_argument("--num_devices", type=int, default=0,
                    help="DP mesh size (0 = all visible devices)")
     p.add_argument("--seed", type=int, default=1234)
@@ -93,7 +97,9 @@ def main(argv=None):
         mlp_dim=a.mlp_dim, embed_dim=a.embed_dim,
         cond_dim=corpus.frame_size, sample_rate=corpus.sample_rate,
         frame_period_ms=corpus.audio_hop / corpus.sample_rate * 1000.0,
-        layer_norm=a.layer_norm)
+        layer_norm=a.layer_norm, use_speaker=a.use_speaker,
+        num_speakers=max(corpus.num_speakers, 1),
+        speaker_dim=a.speaker_dim)
     tcfg = TrainConfig(model_name=a.model_name, save_dir=a.save_dir,
                        learning_rate=a.learning_rate, grad_clip=a.grad_clip,
                        num_steps=a.num_steps, save_every=a.save_every,
