@@ -126,8 +126,11 @@ def stream_generate(model, params, norm, cfg, args, ids, speakers, corpus,
     from parrot_tpu.train.checkpoint import load_vocoder_for_inference
     from parrot_tpu.vocoder import write_wav
 
+    if args.frame_chunk <= 0 or args.frame_chunk % 8:
+        sys.exit(f"--frame_chunk must be a positive multiple of 8 "
+                 f"(got {args.frame_chunk})")
     try:
-        vmodel, vparams, _, vcfg, vstep = load_vocoder_for_inference(
+        vmodel, vparams, vnorm, vcfg, vstep = load_vocoder_for_inference(
             cfg.train.save_dir, args.neural_vocoder, args.checkpoint)
     except (FileNotFoundError, ValueError) as e:
         sys.exit(str(e))
@@ -144,7 +147,7 @@ def stream_generate(model, params, norm, cfg, args, ids, speakers, corpus,
 
     syn = StreamingSynthesizer(
         model, params, norm, vmodel, vparams, cfg.sample,
-        vocoder_temperature=args.vocoder_temperature)
+        vocoder_temperature=args.vocoder_temperature, vnorm=vnorm)
     hop = vcfg.hop
     audio_parts, live_parts = [], []
     for k, ch in enumerate(syn.stream(text, mask, spk,
@@ -157,7 +160,8 @@ def stream_generate(model, params, norm, cfg, args, ids, speakers, corpus,
         # the first chunk's wall time includes the one-time jit compile;
         # warm-cache TTFA is what scripts/bench_stream.py measures
         label = "first chunk (incl. compile)" if k == 0 else f"chunk {k}"
-        print(f"{label}: +{args.frame_chunk * 5} ms of audio at "
+        chunk_ms = ch.audio.shape[1] / vcfg.sample_rate * 1e3
+        print(f"{label}: +{chunk_ms:.0f} ms of audio at "
               f"t={ch.ttfa_ms:.0f} ms ({int(ch.done.sum())}/{B} rows done)")
     audio = np.concatenate(audio_parts, axis=1)
     live = np.concatenate(live_parts, axis=1)          # (B, total frames)

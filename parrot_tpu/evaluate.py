@@ -174,9 +174,11 @@ def neural_vocoder_report(vmodel, vparams, vnorm, corpus: H5Corpus,
         T = feats.shape[0]
         cond = jnp.asarray(feats[None], jnp.float32)
         mask = jnp.ones((1, T), jnp.float32)
+        spk = jnp.asarray([corpus.speaker(int(i))], jnp.int32)
         _, audio, _ = vmodel.generate(vparams, vnorm, cond, mask,
                                       _jax.random.PRNGKey(seed),
-                                      temperature=temperature)
+                                      temperature=temperature,
+                                      speaker=spk)
         y = np.asarray(audio[0], np.float64)
         f0, sp, ap = analyze(y, fs)
         coded = code_frames(f0, sp, ap, n_sp=n_sp_code)     # (~T, D)
@@ -202,7 +204,8 @@ def neural_vocoder_report(vmodel, vparams, vnorm, corpus: H5Corpus,
             audio=jnp.asarray(q[None], jnp.int32),
             cond=jnp.asarray(feats[None], jnp.float32),
             cond_mask=jnp.ones((1, feats.shape[0]), jnp.float32),
-            start_flag=jnp.float32(1.0))
+            start_flag=jnp.float32(1.0),
+            speaker=jnp.asarray([corpus.speaker(int(i))], jnp.int32))
         m = cost(b)
         bits_sum += float(m["bits_per_sample"]) * float(m["samples"])
         n_sum += float(m["samples"])

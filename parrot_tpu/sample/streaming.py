@@ -50,18 +50,24 @@ class StreamChunk(NamedTuple):
 class StreamingSynthesizer:
     """Chunked text->audio with carried kernel state.
 
-    model/params/norm: the reader (Parrot) triple; vmodel/vparams: the
-    SampleRNN vocoder (trained under the SAME conditioning stats —
-    generate.py / train_joint.py exports guarantee this).
+    model/params/norm: the reader (Parrot) triple; vmodel/vparams/vnorm:
+    the SampleRNN vocoder and ITS conditioning stats (renormalization
+    reader-space -> vocoder-space happens in the chunk program; when
+    the pair was trained together the two stats coincide and the
+    renormalization is an exact no-op).
     """
 
     def __init__(self, model, params, norm, vmodel, vparams,
                  cfg: Optional[SampleConfig] = None,
                  vocoder_temperature: float = 1.0,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, vnorm=None):
         self.model = model
         self.params = params
         self.norm = {k: jnp.asarray(v) for k, v in norm.items()}
+        # the vocoder's own conditioning stats (load_vocoder_for_inference
+        # returns them); defaults to the reader's when trained together
+        self.vnorm = ({k: jnp.asarray(v) for k, v in vnorm.items()}
+                      if vnorm is not None else self.norm)
         self.vmodel = vmodel
         self.vparams = vparams
         self.cfg = cfg if cfg is not None else SampleConfig()
@@ -91,15 +97,17 @@ class StreamingSynthesizer:
                                                   split_vocoder_state)
         model, vmodel, cfg = self.model, self.vmodel, self.cfg
         vcfg = vmodel.cfg
-        norm = self.norm
+        norm, vnorm = self.norm, self.vnorm
         wdt = (jnp.bfloat16 if cfg.fused_weight_dtype == "bfloat16"
                else jnp.float32)
         # one reader grid step per call; vocoder chunks of 8 frames
-        assert F % 8 == 0, f"frame_chunk {F} must be a multiple of 8"
+        if F % 8 or F <= 0:
+            raise ValueError(f"frame_chunk must be a positive multiple "
+                             f"of 8 (got {F})")
         VC = 8 if F % 16 else 16
 
         def run(params, vparams, enc, text_mask, speaker, dstate_flat,
-                vstate, seed):
+                vstate, prev_done, seed):
             kp = prepare_params(model, params, speaker, B, weight_dtype=wdt)
             frames_n, kappas, dflat = fused_decode(
                 kp, enc, text_mask, dstate_flat, seed,
@@ -112,20 +120,28 @@ class StreamingSynthesizer:
                 layer_norm=model.cfg.layer_norm, chunk_steps=F,
                 stop_threshold=cfg.stop_threshold,
                 interpret=self.interpret, emit_state=True)
-            # stop bookkeeping (same criterion as the batch path)
+            # stop bookkeeping, same criterion AND boundary as the
+            # batch path (sampler._finalize_fused): the frame that
+            # crosses the threshold is the last LIVE frame. mass is
+            # monotone (kappa only grows), so live_t = "not done before
+            # step t" = [~prev_done, mass[:-1] <= thr].
             text_lengths = text_mask.sum(-1)
             mass = jax.vmap(GravesWindow.stop_mass,
                             in_axes=(0, None))(kappas, text_lengths)
-            live = (mass <= cfg.stop_threshold).astype(jnp.float32).T
-            done = mass[-1] > cfg.stop_threshold          # (B,)
+            not_done_before = jnp.concatenate(
+                [jnp.logical_not(prev_done)[None, :],
+                 mass[:-1] <= cfg.stop_threshold], axis=0)   # (F, B)
+            live = not_done_before.astype(jnp.float32).T     # (B, F)
+            done = mass[-1] > cfg.stop_threshold             # (B,)
 
-            # the reader's normalized output IS the vocoder's normalized
-            # conditioning (shared stats): hand it over directly and
-            # de-normalize only for the returned frames
+            # renormalize reader-space -> vocoder-space (an exact no-op
+            # when the pair shares stats, i.e. trained together)
             vkp = prepare_vocoder_params(
                 vmodel, vparams, wdt,
                 speaker=speaker if vcfg.use_speaker else None)
-            cond_n = frames_n.astype(jnp.float32)          # (F, B, D)
+            raw_f = frames_n * norm["std"] + norm["mean"]    # (F, B, D)
+            cond_n = ((raw_f - vnorm["mean"])
+                      / vnorm["std"]).astype(jnp.float32)
             ids, vflat = fused_vocoder_decode(
                 vkp, cond_n, live.T, (vstate[0], vstate[1], vstate[2],
                                       vstate[3]), seed,
@@ -136,7 +152,7 @@ class StreamingSynthesizer:
                 temperature=self.vocoder_temperature, chunk_frames=VC,
                 interpret=self.interpret, emit_state=True)
             audio = mulaw_decode_jax(ids.T, vcfg.quantization)  # (B, F*hop)
-            raw = (frames_n * norm["std"] + norm["mean"]).transpose(1, 0, 2)
+            raw = raw_f.transpose(1, 0, 2)
             return (audio, raw, live, done,
                     split_state(dflat, L=model.L, H=model.H, K=model.K,
                                 E=model.E, D=model.D),
@@ -174,11 +190,13 @@ class StreamingSynthesizer:
             key = jax.random.PRNGKey(self.cfg.seed)
         cap = max_steps if max_steps is not None else self.cfg.max_steps
 
-        @jax.jit
-        def prep(params, text, text_mask):
-            return self.model.encode(params, text, text_mask)
-
-        enc = prep(self.params, text, text_mask)
+        # cached like _chunk_fn: a fresh jit wrapper per call would
+        # re-trace the encoder inside the timed first chunk
+        if not hasattr(self, "_prep"):
+            self._prep = jax.jit(
+                lambda params, text, text_mask: self.model.encode(
+                    params, text, text_mask))
+        enc = self._prep(self.params, text, text_mask)
         dstate = flatten_state(self.model.init_state(B, U))
         vstate = make_vocoder_init(self.vparams,
                                    self.vmodel.init_state(B),
@@ -186,18 +204,23 @@ class StreamingSynthesizer:
         fn = self._chunk_fn(B, U, F)
 
         steps = 0
+        hop = self.vmodel.cfg.hop
+        prev_done = jnp.zeros((B,), bool)
         while steps < cap:
             key, sub = jax.random.split(key)
             seed = jax.random.randint(sub, (1,), 0, 2**31 - 1,
                                       dtype=jnp.int32)
             audio, raw, live, done, dstate, vstate = fn(
                 self.params, self.vparams, enc, text_mask, speaker,
-                dstate, vstate, seed)
+                dstate, vstate, prev_done, seed)
+            prev_done = done
             audio = np.asarray(audio)  # host sync: the chunk is ready
-            yield StreamChunk(audio=audio, frames=np.asarray(raw),
-                              live=np.asarray(live),
+            raw, live = np.asarray(raw), np.asarray(live)
+            keep = min(F, cap - steps)  # honor max_steps exactly
+            yield StreamChunk(audio=audio[:, :keep * hop],
+                              frames=raw[:, :keep], live=live[:, :keep],
                               done=np.asarray(done),
                               ttfa_ms=(time.time() - t0) * 1e3)
-            steps += F
+            steps += keep
             if bool(np.all(np.asarray(done))):
                 return

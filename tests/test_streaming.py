@@ -120,3 +120,32 @@ def test_emit_state_matches_plain_sampler_state():
     _, _, flat_b = fused_decode(kp, enc, mask, half_state, seed, **kw_half)
     np.testing.assert_array_equal(np.asarray(flat_full),
                                   np.asarray(flat_b))
+
+
+def test_stream_renormalizes_for_vocoder_stats_and_caps_exactly():
+    """(a) A vocoder trained under different conditioning stats gets the
+    frames renormalized into ITS space: streamed audio must equal the
+    plain vocoder run on the streamed RAW frames under vnorm (greedy
+    f32 cross-path parity). (b) max_steps is honored exactly even when
+    it is not a chunk multiple."""
+    model, params, vmodel, vparams, norm = _setup("MSE")
+    vnorm = {"mean": jnp.full((5,), 0.7), "std": jnp.full((5,), 1.9)}
+    cfg = SampleConfig(fused_weight_dtype="float32", stop_threshold=1.1)
+    syn = StreamingSynthesizer(model, params, norm, vmodel, vparams,
+                               cfg, vocoder_temperature=0.0,
+                               interpret=True, vnorm=vnorm)
+    rng = np.random.default_rng(2)
+    text = jnp.asarray(rng.integers(1, 7, (2, 5)), jnp.int32)
+    mask = jnp.ones((2, 5), jnp.float32)
+    chunks, audio, frames = _stream_all(syn, text, mask, 8, 12)
+    # (b) 12 = 8 + 4: the second chunk is trimmed to 4 frames
+    assert frames.shape[1] == 12
+    assert audio.shape == (2, 12 * vmodel.cfg.hop)
+    assert chunks[-1].frames.shape[1] == 4
+
+    # (a) plain vocoder on the RAW streamed frames under vnorm
+    q_ref, audio_ref, _ = vmodel.generate(
+        vparams, vnorm, jnp.asarray(frames), jnp.ones((2, 12), jnp.float32),
+        jax.random.PRNGKey(0), temperature=0.0)
+    np.testing.assert_allclose(audio, np.asarray(audio_ref),
+                               rtol=0, atol=1e-6)
