@@ -201,7 +201,9 @@ def neural_synthesize(neural, results, out_dir, corpus, temperature=1.0,
     use_fused = (jax.default_backend() == "tpu"
                  and vcfg.mlp_dim % 128 == 0)
     if use_fused:
-        _, audio = model.generate_fused(
+        # generate_robust: permanent kernel failures fall back to the
+        # plain path for good, transient ones retry next call
+        _, audio = model.generate_robust(
             params, vnorm, jnp.asarray(cond), jnp.asarray(mask),
             seed=seed, temperature=temperature, speaker=spk)
     else:

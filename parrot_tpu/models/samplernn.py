@@ -30,6 +30,7 @@ model's segment semantics so the same stream machinery drives both.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -353,9 +354,16 @@ class SampleRNN:
 
         sharded = mesh is not None and n_dev > 1
 
+        num_chunks = (Sc + pad) // C
+
         def run(params, cond_t, mask_t, h, c, prev, prev_q, seed_arr, spk):
             if sharded:
-                seed_arr = seed_arr + jax.lax.axis_index("data")
+                # stride by the chunk count: the kernel seeds its PRNG
+                # with seed + chunk, so a per-shard offset of +1 would
+                # make shard s chunk c and shard s+1 chunk c-1 draw
+                # identical noise
+                seed_arr = (seed_arr
+                            + jax.lax.axis_index("data") * num_chunks)
             kp = prepare_vocoder_params(
                 self, params, weight_dtype,
                 speaker=spk if self.cfg.use_speaker else None)
@@ -366,7 +374,7 @@ class SampleRNN:
                 T_c=Sc + pad, D=self.D, FS=self.FS, RF=self.RF, E=self.E,
                 H=self.H, M=self.M, Q=self.Q, SPC=cfg.steps_per_cond,
                 temperature=temperature, chunk_frames=C,
-                interpret=interpret)
+                interpret=interpret, layer_norm=cfg.layer_norm)
 
         if sharded:
             from jax import shard_map
@@ -390,3 +398,44 @@ class SampleRNN:
                  jnp.full((1,), seed, jnp.int32), speaker)
         q = ids.T[:B, :Sc * cfg.hop]                           # (B, T)
         return q, mulaw_decode_jax(q, self.Q)
+
+    # ------------------------------------------------------------------
+    def generate_robust(self, params, norm, cond, cond_mask, seed,
+                        temperature: float = 1.0, speaker=None, **fused_kw):
+        """generate_fused with the serving fallback contract of
+        sample.Sampler: permanent failures (VMEM overflow, Mosaic
+        rejection, shape errors) disable the kernel for this model
+        instance; transient runtime errors fall back for one call and
+        retry next time (capped — utils/errors.py). Returns (q, audio).
+        """
+        import jax as _jax
+
+        if not getattr(self, "_fused_broken", False):
+            try:
+                out = self.generate_fused(
+                    params, norm, cond, cond_mask, seed,
+                    temperature=temperature, speaker=speaker, **fused_kw)
+                self._fused_fail_streak = 0
+                return out
+            except Exception as e:
+                from parrot_tpu.utils.errors import (
+                    fused_error_is_permanent, MAX_TRANSIENT_FAILURES)
+                streak = getattr(self, "_fused_fail_streak", 0) + 1
+                self._fused_fail_streak = streak
+                permanent = (fused_error_is_permanent(e)
+                             or streak >= MAX_TRANSIENT_FAILURES)
+                if permanent:
+                    self._fused_broken = True
+                msg = str(e).replace("\n", " ")[:300]
+                print(f"fused vocoder unavailable ({type(e).__name__}: "
+                      f"{msg}); falling back to the plain sampler"
+                      + ("" if permanent
+                         else " (transient: will retry next call)"))
+        fn = getattr(self, "_plain_gen", None)
+        if fn is None:
+            fn = self._plain_gen = _jax.jit(functools.partial(
+                self.generate), static_argnames=("temperature",))
+        q, audio, _ = fn(params, norm, cond, cond_mask,
+                         _jax.random.PRNGKey(int(seed)),
+                         temperature=temperature, speaker=speaker)
+        return q, audio

@@ -34,6 +34,11 @@ from parrot_tpu.vocoder.mulaw import mulaw_decode_jax
 N_WEIGHTS = 13  # wx_x, wx_c, wh, b, w_up, b_up, w1, b1, w2, b2, wq, bq, emb
 
 
+def n_weight_arrays(layer_norm: bool = False) -> int:
+    """Flat weight-tuple length (+4 layer-norm rows when enabled)."""
+    return N_WEIGHTS + (4 if layer_norm else 0)
+
+
 def prepare_vocoder_params(model, params, weight_dtype=jnp.bfloat16,
                            speaker=None) -> Tuple[jax.Array, ...]:
     """SampleRNN param pytree -> the kernel's flat weight tuple.
@@ -44,7 +49,13 @@ def prepare_vocoder_params(model, params, weight_dtype=jnp.bfloat16,
     speaker rows of wx fold into a PER-ROW gate bias
     (b + emb[speaker] @ wx_spk, shape (B, 4H)) — the same
     fold-constant-conditioning-into-the-bias trick as the reader
-    kernel's speaker handling; `speaker` is then required.
+    kernel's speaker handling; `speaker` is then required. (The fold
+    stays exact under layer_norm: training adds the speaker rows to the
+    pre-LN gate sum, which is precisely where b4 enters the kernel.)
+
+    For layer_norm tier cells, four f32 LN rows (gate g/b, cell g/b)
+    ride at the END of the tuple — pass layer_norm=True to
+    fused_vocoder_decode to consume them.
     """
     FS, D = model.FS, model.D
     tier = params["tier"]
@@ -58,7 +69,7 @@ def prepare_vocoder_params(model, params, weight_dtype=jnp.bfloat16,
         sv = jnp.take(params["spk"]["table"], speaker, axis=0)  # (B, sd)
         b4 = b4 + jnp.dot(sv.astype(jnp.float32),
                           f(tier["wx"][FS + D:]))               # (B, 4H)
-    return (
+    out = [
         c(tier["wx"][:FS]),            # (FS, 4H)
         c(tier["wx"][FS:FS + D]),      # (D, 4H)
         c(tier["wh"]),                 # (H, 4H)
@@ -81,7 +92,13 @@ def prepare_vocoder_params(model, params, weight_dtype=jnp.bfloat16,
              mulaw_decode_jax(jnp.arange(params["embed"]["table"].shape[0]),
                               params["embed"]["table"].shape[0])[:, None]],
             axis=1),
-    )
+    ]
+    if "ln_g" in tier:  # layer_norm rows (f32) at the end
+        out += [f(tier["ln_g"]["g"])[None, :],   # (1, 4H)
+                f(tier["ln_g"]["b"])[None, :],
+                f(tier["ln_c"]["g"])[None, :],   # (1, H)
+                f(tier["ln_c"]["b"])[None, :]]
+    return tuple(out)
 
 
 def make_vocoder_init(params, state, rf_size: int, embed_dim: int):
@@ -119,21 +136,24 @@ def _uniform(shape):
 
 
 def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature,
-                 emit_state=False):
+                 layer_norm=False, emit_state=False):
     """C = conditioning frames per grid step; SPC = tier steps per
     conditioning frame. One grid step emits C * SPC * FS samples."""
     greedy = temperature <= 0.0
     inv_temp = 0.0 if greedy else 1.0 / float(temperature)
 
     def kernel(*refs):
+        i = 0
+        (seed_ref, wx_x, wx_c, wh, b4, w_up, b_up, w1, b1, w2, b2,
+         wq, bq, emb_t) = refs[i:i + 14]; i += 14
+        ln = None
+        if layer_norm:
+            ln = refs[i:i + 4]; i += 4  # (gate g, gate b, cell g, cell b)
+        cond, mask, h0, c0, prev0, win0, ids_out = refs[i:i + 7]; i += 7
+        state_out = None
         if emit_state:
-            (seed_ref, wx_x, wx_c, wh, b4, w_up, b_up, w1, b1, w2, b2,
-             wq, bq, emb_t, cond, mask, h0, c0, prev0, win0, ids_out,
-             state_out, h_s, c_s, prev_s, win_s, up_s) = refs
-        else:
-            (seed_ref, wx_x, wx_c, wh, b4, w_up, b_up, w1, b1, w2, b2,
-             wq, bq, emb_t, cond, mask, h0, c0, prev0, win0, ids_out,
-             h_s, c_s, prev_s, win_s, up_s) = refs
+            state_out = refs[i]; i += 1
+        h_s, c_s, prev_s, win_s, up_s = refs[i:i + 5]; i += 5
 
         chunk = pl.program_id(0)
 
@@ -163,12 +183,27 @@ def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature,
             gates = (b4[:] + dot(prev_s[:].astype(wd), wx_x[:])
                      + dot(cond_j.astype(wd), wx_c[:])
                      + dot(h_old.astype(wd), wh[:]))
+
+            def layernorm(x, g_ref, b_ref):
+                mean = jnp.mean(x, axis=-1, keepdims=True)
+                var = jnp.mean((x - mean) * (x - mean), axis=-1,
+                               keepdims=True)
+                return (g_ref[:] * (x - mean) * jax.lax.rsqrt(var + 1e-5)
+                        + b_ref[:])
+
+            if ln is not None:
+                gates = layernorm(gates, ln[0], ln[1])
             i_ = jax.nn.sigmoid(gates[:, :H])
             fgt = jax.nn.sigmoid(gates[:, H:2 * H])
             cand = jnp.tanh(gates[:, 2 * H:3 * H])
             o = jax.nn.sigmoid(gates[:, 3 * H:])
             c_new = fgt * c_old + i_ * cand
-            h_new = o * jnp.tanh(c_new)
+            # LN on the cell feeds h only; c itself carries un-normalized
+            # (mirrors nn.recurrent.LSTMCell.step and the reader kernel)
+            if ln is not None:
+                h_new = o * jnp.tanh(layernorm(c_new, ln[2], ln[3]))
+            else:
+                h_new = o * jnp.tanh(c_new)
             h_new = m * h_new + (1 - m) * h_old
             c_new = m * c_new + (1 - m) * c_old
             h_s[:] = h_new
@@ -230,10 +265,11 @@ def _make_kernel(*, B, D, FS, RF, E, H, M, Q, SPC, C, temperature,
     jax.jit,
     static_argnames=("T_c", "D", "FS", "RF", "E", "H", "M", "Q", "SPC",
                      "temperature", "chunk_frames", "interpret",
-                     "emit_state"))
+                     "layer_norm", "emit_state"))
 def fused_vocoder_decode(kp, cond, mask, init, seed, *, T_c, D, FS, RF, E,
                          H, M, Q, SPC, temperature=1.0, chunk_frames=8,
-                         interpret=False, emit_state=False):
+                         interpret=False, layer_norm=False,
+                         emit_state=False):
     """Generate T_c * SPC * FS mu-law samples in one pallas_call.
 
     kp: tuple from prepare_vocoder_params; cond (T_c, B, D) NORMALIZED
@@ -253,13 +289,17 @@ def fused_vocoder_decode(kp, cond, mask, init, seed, *, T_c, D, FS, RF, E,
     # provably 128-lane aligned for the Mosaic lowering
     assert interpret or M % 128 == 0, \
         f"fused vocoder needs mlp_dim % 128 == 0 on hardware (got {M})"
-    assert len(kp) == N_WEIGHTS
+    want_nw = n_weight_arrays(layer_norm)
+    assert len(kp) == want_nw, \
+        (f"weight tuple has {len(kp)} arrays, expected {want_nw} "
+         f"(layer_norm={layer_norm}) — a layer_norm-trained vocoder must "
+         f"be served with layer_norm=True")
     kernel = _make_kernel(B=B, D=D, FS=FS, RF=RF, E=E, H=H, M=M, Q=Q,
                           SPC=SPC, C=C, temperature=temperature,
-                          emit_state=emit_state)
+                          layer_norm=layer_norm, emit_state=emit_state)
 
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [vm() for _ in range(N_WEIGHTS)]
+    in_specs = [vm() for _ in range(want_nw)]
     in_specs += [
         pl.BlockSpec((C, B, D), lambda t, seed: (t, 0, 0),
                      memory_space=pltpu.VMEM),                # cond chunk

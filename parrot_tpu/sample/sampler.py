@@ -124,17 +124,32 @@ class Sampler:
                           or getattr(self, "_force_interpret", False)))
         if use_fused:
             try:
-                return self._generate_fused(text, text_mask, speaker, key,
-                                            ms, return_phis=return_phis)
+                out = self._generate_fused(text, text_mask, speaker, key,
+                                           ms, return_phis=return_phis)
+                self._fused_fail_streak = 0
+                return out
             except Exception as e:
-                # e.g. VMEM overflow on a model too large for the kernel:
-                # remember and fall back to the reference while_loop path.
+                # VMEM overflow / Mosaic rejection / shape errors are
+                # deterministic: remember and fall back permanently. A
+                # transient runtime error (device tunnel hiccup) falls
+                # back for THIS call only — the next call retries the
+                # kernel — with a consecutive-failure cap so a
+                # misclassified persistent error can't recompile-storm.
                 # Keep the message: a VMEM overflow is benign, a shape
                 # error is a regression — the operator must see which.
-                self._fused_broken = True
+                from parrot_tpu.utils.errors import (
+                    fused_error_is_permanent, MAX_TRANSIENT_FAILURES)
+                streak = getattr(self, "_fused_fail_streak", 0) + 1
+                self._fused_fail_streak = streak
+                permanent = (fused_error_is_permanent(e)
+                             or streak >= MAX_TRANSIENT_FAILURES)
+                if permanent:
+                    self._fused_broken = True
                 msg = str(e).replace("\n", " ")[:300]
                 print(f"fused decode unavailable ({type(e).__name__}: "
-                      f"{msg}); falling back to the reference sampler")
+                      f"{msg}); falling back to the reference sampler"
+                      + ("" if permanent
+                         else " (transient: will retry next call)"))
         return self._gen(self.params, jnp.asarray(text),
                          jnp.asarray(text_mask, jnp.float32),
                          jnp.asarray(speaker), key, max_steps=ms)

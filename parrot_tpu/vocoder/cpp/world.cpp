@@ -244,6 +244,7 @@ static double norm_autocorr(const vector<double> &xlp, int T, int center,
 extern "C" int world_dio(const double *x_in, int T, int fs,
                          double frame_period_ms, double f0_floor,
                          double f0_ceil, double *f0_out, int n_frames) {
+  if (n_frames <= 0) return 0;  // audio shorter than one hop: nothing to do
   vector<double> x(x_in, x_in + T);
   int hop = (int)std::lround(fs * frame_period_ms / 1000.0);
   if (hop <= 0) return -1;
@@ -354,6 +355,9 @@ extern "C" int world_dio(const double *x_in, int T, int fs,
 extern "C" int world_harvest(const double *x_in, int T, int fs,
                              double frame_period_ms, double f0_floor,
                              double f0_ceil, double *f0_out, int n_frames) {
+  // n_frames == 0 would make the Viterbi backtrack below write
+  // path[-1] on an empty vector (heap corruption); bail out first
+  if (n_frames <= 0) return 0;
   vector<double> x(x_in, x_in + T);
   int hop = (int)std::lround(fs * frame_period_ms / 1000.0);
   if (hop <= 0) return -1;

@@ -160,6 +160,29 @@ def main():
     check("vocoder kernel: masked frames emit silence",
           bool((q1[0, 12 * vcfg.hop:] == vm.zero_id).all()))
 
+    # layer_norm variant: a distinct Mosaic lowering (mean/rsqrt in the
+    # gate path); greedy agreement vs the plain path, LN params
+    # perturbed so ignoring them cannot pass (round-3 ADVICE fix).
+    # NOT bit-exact on hardware: Mosaic and XLA order the LN cross-lane
+    # reductions differently, so rare argmax flips in the 256-way
+    # categorical briefly perturb the trajectory (measured ~0.98 match;
+    # an LN-IGNORING kernel measures ~0.17, so >=0.95 separates rounding
+    # flutter from wrong math; CPU interpret parity is bit-exact —
+    # tests/test_samplernn.py).
+    lcfg = SampleRNNConfig(rnn_dim=64, mlp_dim=128, embed_dim=16,
+                           cond_dim=7, layer_norm=True)
+    lvm = SampleRNN(lcfg)
+    lparams = lvm.init_params(jax.random.PRNGKey(5))
+    lparams["tier"]["ln_g"]["g"] = lparams["tier"]["ln_g"]["g"] * 1.3 + 0.1
+    lparams["tier"]["ln_c"]["b"] = lparams["tier"]["ln_c"]["b"] - 0.05
+    ql_ref, _, _ = lvm.generate(lparams, vnorm, vcond, vmask,
+                                jax.random.PRNGKey(0), temperature=0.0)
+    ql_f, _ = lvm.generate_fused(lparams, vnorm, vcond, vmask, seed=0,
+                                 temperature=0.0)
+    lmatch = float((np.asarray(ql_ref) == np.asarray(ql_f)).mean())
+    check("vocoder kernel: layer_norm greedy agreement", lmatch >= 0.95,
+          f"(match {lmatch:.4f}; LN-ignoring kernel would be ~0.17)")
+
     # streaming continuation (emit_state): two chunked calls with the
     # carried state must equal the one-shot call bit-for-bit (greedy
     # f32 — the deterministic mode; sample/streaming.py relies on this)

@@ -625,3 +625,96 @@ def test_joint_gradients_reach_speaker_embedding(audio_corpus):
     g = jax.grad(lambda p: model.compute_cost(p, norm, jb, None)[0])(params)
     spk_g = float(jnp.abs(g["vocoder"]["spk"]["table"]).sum())
     assert np.isfinite(spk_g) and spk_g > 0
+
+
+def test_fused_vocoder_layer_norm_parity_interpret():
+    """layer_norm-trained vocoders must serve correctly through the
+    fused kernel (ADVICE r2: the kernel used to silently compute plain
+    LSTM gates). Greedy fused == plain generate, bit-exact."""
+    cfg = SampleRNNConfig(rnn_dim=32, mlp_dim=32, embed_dim=8, cond_dim=5,
+                          layer_norm=True)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(11))
+    # perturb the LN params away from identity so a kernel that ignores
+    # them cannot pass by accident
+    params["tier"]["ln_g"]["g"] = params["tier"]["ln_g"]["g"] * 1.3 + 0.1
+    params["tier"]["ln_g"]["b"] = params["tier"]["ln_g"]["b"] + 0.05
+    params["tier"]["ln_c"]["g"] = params["tier"]["ln_c"]["g"] * 0.8
+    params["tier"]["ln_c"]["b"] = params["tier"]["ln_c"]["b"] - 0.02
+    norm = {"mean": jnp.zeros(5), "std": jnp.ones(5)}
+    B, Sc = 3, 12
+    rng = np.random.default_rng(12)
+    cond = jnp.asarray(rng.normal(size=(B, Sc, 5)), jnp.float32)
+    mask = jnp.ones((B, Sc), jnp.float32).at[2, 9:].set(0.0)
+    q_ref, _, _ = model.generate(params, norm, cond, mask,
+                                 jax.random.PRNGKey(0), temperature=0.0)
+    q_f, _ = model.generate_fused(params, norm, cond, mask, seed=0,
+                                  temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q_ref), np.asarray(q_f))
+
+
+def test_fused_vocoder_layer_norm_weight_tuple_guard():
+    """prepare_vocoder_params appends 4 LN rows; serving them without
+    layer_norm=True (or vice versa) must fail loudly, not silently."""
+    from parrot_tpu.ops.fused_vocoder import (prepare_vocoder_params,
+                                              fused_vocoder_decode,
+                                              make_vocoder_init,
+                                              n_weight_arrays, N_WEIGHTS)
+    cfg = SampleRNNConfig(rnn_dim=32, mlp_dim=32, embed_dim=8, cond_dim=5,
+                          layer_norm=True)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(2))
+    kp = prepare_vocoder_params(model, params, weight_dtype=jnp.float32)
+    assert len(kp) == n_weight_arrays(True) == N_WEIGHTS + 4
+    assert kp[-4].shape == (1, 4 * cfg.rnn_dim)   # gate LN gain
+    assert kp[-2].shape == (1, cfg.rnn_dim)       # cell LN gain
+    init = make_vocoder_init(params, model.init_state(2), model.RF,
+                             model.E)
+    cond = jnp.zeros((8, 2, 5), jnp.float32)
+    mask = jnp.ones((8, 2), jnp.float32)
+    with pytest.raises(AssertionError, match="layer_norm"):
+        fused_vocoder_decode(kp, cond, mask, init,
+                             jnp.zeros((1,), jnp.int32), T_c=8, D=5,
+                             FS=cfg.frame_size, RF=cfg.rf_size,
+                             E=cfg.embed_dim, H=cfg.rnn_dim,
+                             M=cfg.mlp_dim, Q=cfg.quantization,
+                             SPC=cfg.steps_per_cond, temperature=0.0,
+                             interpret=True, layer_norm=False)
+
+
+def test_generate_robust_transient_vs_permanent():
+    """SampleRNN.generate_robust mirrors the Sampler fallback contract:
+    transient errors retry next call, permanent ones stick."""
+    cfg = SampleRNNConfig(rnn_dim=32, mlp_dim=32, embed_dim=8, cond_dim=5)
+    model = SampleRNN(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    norm = {"mean": jnp.zeros(5), "std": jnp.ones(5)}
+    cond = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 5)),
+                       jnp.float32)
+    mask = jnp.ones((2, 8), jnp.float32)
+    calls = []
+
+    def flaky(*a, **kw):
+        calls.append(1)
+        raise RuntimeError("transient tunnel blip")
+
+    model.generate_fused = flaky
+    q, audio = model.generate_robust(params, norm, cond, mask, seed=0,
+                                     temperature=0.0)
+    assert q.shape == (2, 8 * cfg.hop)
+    assert not getattr(model, "_fused_broken", False)
+    model.generate_robust(params, norm, cond, mask, seed=0,
+                          temperature=0.0)
+    assert len(calls) == 2  # retried
+
+    def broken(*a, **kw):
+        calls.append(1)
+        raise ValueError("weight tuple has 13 arrays, expected 17")
+
+    model.generate_fused = broken
+    model.generate_robust(params, norm, cond, mask, seed=0,
+                          temperature=0.0)
+    assert getattr(model, "_fused_broken", False)
+    model.generate_robust(params, norm, cond, mask, seed=0,
+                          temperature=0.0)
+    assert calls.count(1) == 3  # no retry once broken

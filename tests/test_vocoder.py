@@ -119,6 +119,76 @@ def test_mcd_formula():
     assert mcd(c1, np.vstack([c2, c2[:1]]), use_dtw=True) > 0
 
 
+def _dtw_path_scalar(a, b):
+    """Scalar-oracle DTW (the original O(Ta*Tb) Python fill) used to pin
+    the vectorized anti-diagonal implementation in vocoder/mcd.py."""
+    Ta, Tb = len(a), len(b)
+    dist = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+    acc = np.full((Ta + 1, Tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, Ta + 1):
+        for j in range(1, Tb + 1):
+            acc[i, j] = dist[i - 1, j - 1] + min(acc[i - 1, j],
+                                                 acc[i, j - 1],
+                                                 acc[i - 1, j - 1])
+    path = []
+    i, j = Ta, Tb
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        k = int(np.argmin([acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
+        if k == 0:
+            i, j = i - 1, j - 1
+        elif k == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(path[::-1], np.int64)
+
+
+def test_dtw_vectorized_matches_scalar_oracle():
+    from parrot_tpu.vocoder.mcd import _dtw_path
+    rng = np.random.default_rng(7)
+    for Ta, Tb in [(1, 1), (5, 5), (13, 7), (7, 13), (40, 40), (60, 31)]:
+        a = rng.normal(size=(Ta, 6))
+        b = rng.normal(size=(Tb, 6))
+        np.testing.assert_array_equal(_dtw_path(a, b),
+                                      _dtw_path_scalar(a, b))
+
+
+def test_lcg_noise_vectorized_matches_scalar_spec():
+    """The block-jump vectorization must stay bit-identical to the C++
+    LCG spec (s <- s*1664525 + 1013904223 mod 2^32), including across
+    the 4096-sample block boundary."""
+    from parrot_tpu.vocoder.world import lcg_noise
+
+    def scalar(T, seed=1):
+        out = np.empty(T, np.float64)
+        s = int(seed) & 0xFFFFFFFF
+        for t in range(T):
+            s = (s * 1664525 + 1013904223) & 0xFFFFFFFF
+            out[t] = s / 4294967296.0 * 2.0 - 1.0
+        return out * np.sqrt(3.0)
+
+    for T in [0, 1, 4095, 4096, 4097, 9001]:
+        for seed in [1, 0, 0xFFFFFFFF]:
+            np.testing.assert_array_equal(lcg_noise(T, seed),
+                                          scalar(T, seed))
+
+
+def test_dtw_mcd_scales_to_real_utterances():
+    """VERDICT r2 #3 done-criterion: MCD of a 2,000-frame pair (10 s of
+    5 ms frames) with DTW in well under a second."""
+    import time
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(2000, 60))
+    b = a + 0.1 * rng.normal(size=(2000, 60))
+    t0 = time.perf_counter()
+    d = mcd(a, b, use_dtw=True)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(d) and d > 0
+    assert dt < 1.0, f"2000-frame DTW MCD took {dt:.2f}s"
+
+
 def test_write_wav(tmp_path, vowel_analysis):
     x, _ = vowel_analysis
     p = str(tmp_path / "a.wav")
@@ -352,3 +422,14 @@ def test_envelope_log_spectral_distortion_bound(vowel_analysis):
     assert np.mean(lsd) < 0.5, f"mean LSD {np.mean(lsd):.3f} dB"
     assert np.percentile(lsd, 90) < 1.0, \
         f"p90 LSD {np.percentile(lsd, 90):.3f} dB"
+
+
+def test_analyze_audio_shorter_than_one_hop():
+    """n_frames == 0 (audio < one hop) must return empty features, not
+    corrupt the heap (ADVICE r2: harvest's Viterbi backtrack wrote
+    path[-1] on an empty vector)."""
+    x = np.random.default_rng(0).normal(size=40)  # hop = 80 @ 16 kHz/5 ms
+    for method in ("dio", "harvest"):
+        f0, sp, ap = analyze(x, 16000, f0_method=method)
+        assert f0.shape == (0,)
+        assert sp.shape[0] == 0 and ap.shape[0] == 0

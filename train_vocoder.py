@@ -170,7 +170,7 @@ def main(argv=None):
     step, best_valid, seen_segments = 0, float("inf"), 0
     if a.resume:
         r = ckpt.restore({"params": params, "opt_state": opt_state,
-                          "dstate": dstate})
+                          "dstate": dstate, "norm": norm})
         if r is None:
             sys.exit(f"--resume: no checkpoint under "
                      f"{a.save_dir}/{a.model_name}")
@@ -178,6 +178,11 @@ def main(argv=None):
         params = jax.tree.map(jnp.asarray, trees["params"])
         opt_state = jax.tree.map(jnp.asarray, trees["opt_state"])
         dstate = jax.tree.map(jnp.asarray, trees["dstate"])
+        # rebind the saved conditioning stats BEFORE the jitted step fns
+        # trace (they close over `norm`): resuming against a rebuilt or
+        # different --dataset must not silently shift normalization
+        # mid-training (train_joint.py has the same contract)
+        norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
         best_valid = meta.get("best_valid", float("inf"))
         seen_segments = meta.get("seen_segments", step)
 
