@@ -148,6 +148,14 @@ def diff_trace(path: str, model, params,
         norm = {k: jnp.asarray(v) for k, v in trace_norm.items()}
     acts = jax.jit(lambda p, b: probe_activations(model, p, norm, b))(
         params, batch)
+    return report_against(ref_acts, acts)
+
+
+def report_against(ref_acts: Dict[str, np.ndarray],
+                   acts) -> Dict[str, Dict[str, float]]:
+    """diff_trace's comparison step, reusable with precomputed
+    activations (auto_pin evaluates many candidates against one jitted
+    probe)."""
     report = {}
     for name, ref in sorted(ref_acts.items()):
         if name not in acts:

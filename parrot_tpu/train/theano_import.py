@@ -92,35 +92,60 @@ def _apply_transforms(arr: np.ndarray, transforms: List[str]) -> np.ndarray:
     return arr
 
 
-# Best-effort default mapping: reference brick path pattern -> (our tree
-# path, transforms). Our tree paths use '/'-joined keys matching
-# checkpoint.flatten_tree. UNVERIFIED against the real repo (SURVEY.md §0)
-# — pin down when a reference checkpoint is available.
-DEFAULT_MAP: List[Tuple[str, str, List[str]]] = [
-    (r".*(char|text|lookup).*embed.*\.W$", "embed/table", []),
-    (r".*encoder.*forward.*\.W$", "enc_fwd/0/wx", []),
-    (r".*encoder.*forward.*W_state$", "enc_fwd/0/wh", []),
-    (r".*encoder.*forward.*\.b(iases)?$", "enc_fwd/0/b", []),
-    (r".*encoder.*backward.*\.W$", "enc_bwd/0/wx", []),
-    (r".*encoder.*backward.*W_state$", "enc_bwd/0/wh", []),
-    (r".*encoder.*backward.*\.b(iases)?$", "enc_bwd/0/b", []),
-    (r".*window.*\.W$", "attn/proj/w", []),
-    (r".*window.*\.b$", "attn/proj/b", []),
-    (r".*rnn[_]?(0|1)?.*level[_]?0.*W_state$", "dec/0/wh", []),
-    (r".*level[_]?1.*W_state$", "dec/1/wh", []),
-    (r".*level[_]?2.*W_state$", "dec/2/wh", []),
-    (r".*level[_]?0.*(fork|input|x_to).*\.W$", "dec/0/wx", []),
-    (r".*level[_]?1.*(fork|input|x_to).*\.W$", "dec/1/wx", []),
-    (r".*level[_]?2.*(fork|input|x_to).*\.W$", "dec/2/wx", []),
-    (r".*level[_]?0.*\.b(iases)?$", "dec/0/b", []),
-    (r".*level[_]?1.*\.b(iases)?$", "dec/1/b", []),
-    (r".*level[_]?2.*\.b(iases)?$", "dec/2/b", []),
-    (r".*readout.*\.W$", "readout/w", []),
-    (r".*readout.*\.b$", "readout/b", []),
-    (r".*(emitter|mixture|gmm).*\.W$", "head/w", []),
-    (r".*(emitter|mixture|gmm).*\.b$", "head/b", []),
-    (r".*speaker.*\.W$", "speaker/table", []),
-]
+def build_default_map(encoder_layers: int = 1, decoder_layers: int = 3,
+                      gate_perm: Optional[List[int]] = None,
+                      ) -> List[Tuple[str, str, List[str]]]:
+    """Best-effort name map for ANY depth: reference brick path pattern
+    -> (our tree path, transforms). Our tree paths use '/'-joined keys
+    matching checkpoint.flatten_tree. UNVERIFIED against the real repo
+    (SURVEY.md §0) — pin against a real checkpoint with
+    auto_pin.auto_pin, which searches `gate_perm` (applied to every
+    fused-LSTM gate tensor: Blocks/Theano gate order is a single global
+    library convention, not per-cell).
+    """
+    g = ([f"gate_reorder:{','.join(map(str, gate_perm))}"]
+         if gate_perm and list(gate_perm) != [0, 1, 2, 3] else [])
+
+    rules: List[Tuple[str, str, List[str]]] = [
+        (r".*(char|text|lookup).*embed.*\.W$", "embed/table", []),
+    ]
+    for l in range(encoder_layers):
+        # depth-0 paths may omit the level tag entirely (single-layer
+        # bricks); deeper levels must carry their index
+        lvl = (rf"(level[_]?{l}(?!\d).*)?" if l == 0 and encoder_layers == 1
+               else rf"level[_]?{l}(?!\d).*")
+        for d, ours in (("forward", "enc_fwd"), ("backward", "enc_bwd")):
+            rules += [
+                (rf".*encoder.*{d}.*{lvl}W_state$", f"{ours}/{l}/wh", g),
+                (rf".*encoder.*{d}.*{lvl}\.W$", f"{ours}/{l}/wx", g),
+                (rf".*encoder.*{d}.*{lvl}\.b(iases)?$", f"{ours}/{l}/b",
+                 g),
+            ]
+    rules += [
+        (r".*window.*\.W$", "attn/proj/w", []),
+        (r".*window.*\.b(iases)?$", "attn/proj/b", []),
+    ]
+    for l in range(decoder_layers):
+        rules += [
+            (rf".*(rnn[_]?\d*.*)?level[_]?{l}(?!\d).*W_state$", f"dec/{l}/wh",
+             g),
+            (rf".*level[_]?{l}(?!\d).*(fork|input|x_to).*\.W$", f"dec/{l}/wx",
+             g),
+            (rf".*level[_]?{l}(?!\d).*\.b(iases)?$", f"dec/{l}/b", g),
+        ]
+    rules += [
+        (r".*readout.*\.W$", "readout/w", []),
+        (r".*readout.*\.b(iases)?$", "readout/b", []),
+        (r".*(emitter|mixture|gmm).*\.W$", "head/w", []),
+        (r".*(emitter|mixture|gmm).*\.b(iases)?$", "head/b", []),
+        (r".*speaker.*\.W$", "speaker/table", []),
+    ]
+    return rules
+
+
+# Kept for the flagship shape (backward compatibility with callers that
+# imported the constant); equivalent to build_default_map(1, 3).
+DEFAULT_MAP: List[Tuple[str, str, List[str]]] = build_default_map(1, 3)
 
 
 def import_theano_checkpoint(
