@@ -17,10 +17,14 @@ single chunk instead of after the whole utterance.
 The reference's generation is a per-frame Python loop followed by an
 offline vocoder pass — no streaming equivalent exists there.
 
-Single-device by design (streaming is a latency path; shard the batch
-across chips with the batch serving path instead). Greedy/f32 chunked
-output is bit-identical to the one-shot kernels (tested) — chunking
-changes the schedule, not the math.
+Single-device by default (streaming is a latency path). Pass a
+multi-device `mesh` to serve many concurrent streams: batch rows split
+along the 'data' axis under shard_map, weights replicated, one
+independent kernel per chip with per-shard carried state — no
+cross-chip communication, so stream capacity scales linearly with
+devices while per-chunk latency stays single-chip (BASELINE.json:11).
+Greedy/f32 chunked output is bit-identical to the one-shot kernels
+(tested) — chunking changes the schedule, not the math.
 """
 
 from __future__ import annotations
@@ -60,7 +64,9 @@ class StreamingSynthesizer:
     def __init__(self, model, params, norm, vmodel, vparams,
                  cfg: Optional[SampleConfig] = None,
                  vocoder_temperature: float = 1.0,
-                 interpret: Optional[bool] = None, vnorm=None):
+                 interpret: Optional[bool] = None, vnorm=None,
+                 mesh=None):
+        self.mesh = mesh
         self.model = model
         self.params = params
         self.norm = {k: jnp.asarray(v) for k, v in norm.items()}
@@ -105,12 +111,26 @@ class StreamingSynthesizer:
             raise ValueError(f"frame_chunk must be a positive multiple "
                              f"of 8 (got {F})")
         VC = 8 if F % 16 else 16
+        mesh = self.mesh
+        sharded = mesh is not None and mesh.devices.size > 1
 
         def run(params, vparams, enc, text_mask, speaker, dstate_flat,
                 vstate, prev_done, seed):
-            kp = prepare_params(model, params, speaker, B, weight_dtype=wdt)
+            if sharded:
+                # decorrelate each shard's PRNG streams; the stride
+                # clears the per-call grid-step offsets (reader: 1,
+                # vocoder: F // VC) with huge margin
+                seed = seed + (jax.lax.axis_index("data")
+                               * jnp.int32(1 << 16))
+            # two decorrelated streams: both kernels seed their PRNG with
+            # seed[0] + chunk, so sharing one seed would correlate the
+            # reader's frame-sampling noise with the vocoder's
+            # audio-sampling noise (seed is (2,): reader=0, vocoder=1)
+            rseed, vseed = seed[0:1], seed[1:2]
+            kp = prepare_params(model, params, speaker, speaker.shape[0],
+                                weight_dtype=wdt)
             frames_n, kappas, dflat = fused_decode(
-                kp, enc, text_mask, dstate_flat, seed,
+                kp, enc, text_mask, dstate_flat, rseed,
                 T=F, D=model.D, E=model.E, H=model.H, K=model.K,
                 M=model.cfg.num_mixtures, L=model.L,
                 alignment=model.cfg.attention_alignment,
@@ -144,13 +164,14 @@ class StreamingSynthesizer:
                       / vnorm["std"]).astype(jnp.float32)
             ids, vflat = fused_vocoder_decode(
                 vkp, cond_n, live.T, (vstate[0], vstate[1], vstate[2],
-                                      vstate[3]), seed,
+                                      vstate[3]), vseed,
                 T_c=F, D=vcfg.cond_dim, FS=vcfg.frame_size,
                 RF=vcfg.rf_size, E=vcfg.embed_dim, H=vcfg.rnn_dim,
                 M=vcfg.mlp_dim, Q=vcfg.quantization,
                 SPC=vcfg.steps_per_cond,
                 temperature=self.vocoder_temperature, chunk_frames=VC,
-                interpret=self.interpret, emit_state=True)
+                interpret=self.interpret, layer_norm=vcfg.layer_norm,
+                emit_state=True)
             audio = mulaw_decode_jax(ids.T, vcfg.quantization)  # (B, F*hop)
             raw = raw_f.transpose(1, 0, 2)
             return (audio, raw, live, done,
@@ -161,6 +182,17 @@ class StreamingSynthesizer:
                                         RF=vcfg.rf_size,
                                         E=vcfg.embed_dim))
 
+        if sharded:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            d = P("data")
+            n_ds = 2 * model.L + 3  # (h, c) x L + kappa + w + x_last
+            run = shard_map(
+                run, mesh=mesh,
+                in_specs=(P(), P(), d, d, d, (d,) * n_ds, (d,) * 4, d,
+                          P()),
+                out_specs=(d, d, d, d, (d,) * n_ds, (d,) * 4),
+                check_vma=False)
         fn = jax.jit(run)
         self._cache[key] = fn
         return fn
@@ -181,6 +213,12 @@ class StreamingSynthesizer:
         text = jnp.asarray(text)
         text_mask = jnp.asarray(text_mask, jnp.float32)
         B, U = text.shape
+        if self.mesh is not None and B % self.mesh.devices.size:
+            # streams are long-lived; silently padding rows would burn a
+            # chip slot for the whole stream — make the caller batch
+            raise ValueError(
+                f"sharded streaming needs batch {B} divisible by the "
+                f"mesh size {self.mesh.devices.size}")
         F = int(frame_chunk)
         if speaker is None:
             speaker = jnp.zeros((B,), jnp.int32)
@@ -208,7 +246,8 @@ class StreamingSynthesizer:
         prev_done = jnp.zeros((B,), bool)
         while steps < cap:
             key, sub = jax.random.split(key)
-            seed = jax.random.randint(sub, (1,), 0, 2**31 - 1,
+            # (2,): independent reader / vocoder seeds (see _chunk_fn)
+            seed = jax.random.randint(sub, (2,), 0, 2**31 - 1,
                                       dtype=jnp.int32)
             audio, raw, live, done, dstate, vstate = fn(
                 self.params, self.vparams, enc, text_mask, speaker,

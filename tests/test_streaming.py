@@ -149,3 +149,49 @@ def test_stream_renormalizes_for_vocoder_stats_and_caps_exactly():
         jax.random.PRNGKey(0), temperature=0.0)
     np.testing.assert_allclose(audio, np.asarray(audio_ref),
                                rtol=0, atol=1e-6)
+
+
+def test_sharded_streaming_matches_single_device():
+    """VERDICT r2 next-step #6: streaming under a multi-chip mesh.
+    B rows split over an 8-device virtual mesh with per-shard carried
+    state must reproduce the single-device stream in deterministic mode
+    (MSE reader + greedy f32 vocoder — the per-shard PRNG seed
+    decorrelation is then irrelevant). Tolerance is ulp-level, not
+    bitwise: XLA picks a different matmul reduction order for the
+    per-shard B=1 GEMMs than for the B=8 ones."""
+    from parrot_tpu.parallel import make_mesh
+
+    model, params, vmodel, vparams, norm = _setup("MSE")
+    cfg = SampleConfig(fused_weight_dtype="float32", stop_threshold=1.1)
+    rng = np.random.default_rng(5)
+    B, U = 8, 6
+    text = jnp.asarray(rng.integers(1, 7, (B, U)), jnp.int32)
+    mask = jnp.ones((B, U), jnp.float32)
+
+    single = StreamingSynthesizer(model, params, norm, vmodel, vparams,
+                                  cfg, vocoder_temperature=0.0,
+                                  interpret=True)
+    _, audio_1, frames_1 = _stream_all(single, text, mask, 8, 16)
+
+    mesh = make_mesh(8)
+    sharded = StreamingSynthesizer(model, params, norm, vmodel, vparams,
+                                   cfg, vocoder_temperature=0.0,
+                                   interpret=True, mesh=mesh)
+    chunks, audio_8, frames_8 = _stream_all(sharded, text, mask, 8, 16)
+    np.testing.assert_allclose(audio_8, audio_1, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(frames_8, frames_1, rtol=0, atol=1e-6)
+    assert chunks[-1].done.shape == (B,)
+
+
+def test_sharded_streaming_rejects_ragged_batch():
+    from parrot_tpu.parallel import make_mesh
+    import pytest
+
+    model, params, vmodel, vparams, norm = _setup("MSE")
+    syn = StreamingSynthesizer(model, params, norm, vmodel, vparams,
+                               SampleConfig(), vocoder_temperature=0.0,
+                               interpret=True, mesh=make_mesh(8))
+    text = jnp.ones((3, 4), jnp.int32)
+    mask = jnp.ones((3, 4), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        next(syn.stream(text, mask, frame_chunk=8, max_steps=8))
