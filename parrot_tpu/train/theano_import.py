@@ -19,6 +19,11 @@ be pinned down against a real checkpoint. Supported containers:
 
 Transforms available in a map entry: "transpose", "gate_reorder:<perm>"
 (reorder fused LSTM gate blocks, e.g. Theano order -> i,f,g,o).
+
+NOTE: weight import only gives parity if the FEATURE SPACE matches too —
+before importing against a real corpus/checkpoint, diff the reference's
+preprocessing against docs/FEATURES.md field by field (frame layout,
+hop, FFT sizing, band ownership, normalization).
 """
 
 from __future__ import annotations
