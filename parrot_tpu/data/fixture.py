@@ -123,3 +123,149 @@ def make_audio_fixture_corpus(
     with h5py.File(path, "a") as f:
         f.attrs["sample_rate"] = fs
     return path
+
+
+def make_rich_corpus(
+    path: str,
+    num_utterances: int = 2500,
+    vocab_size: int = 30,
+    num_speakers: int = 10,
+    min_chars: int = 6,
+    max_chars: int = 16,
+    fs: int = 16000,
+    char_ms: float = 100.0,
+    seed: int = 0,
+    progress: bool = False,
+) -> str:
+    """Non-memorizable synthetic speech corpus (VERDICT r2 next-step #4).
+
+    Same text -> audio SYSTEM as make_audio_fixture_corpus (tokens are
+    synthetic phones, features from real WORLD analysis) but with enough
+    per-utterance entropy that a ~10M-param model cannot memorize it and
+    held-out quality has to come from generalization:
+
+      * phone inventory: voiced tokens carry (f0 base, two formants);
+        ~1/4 of tokens are UNVOICED noise phones (V/UV is learnable);
+      * per-speaker voice: pitch scale, formant scale, filter bandwidth,
+        breathiness, speaking rate — drawn once per speaker;
+      * per-utterance prosody: F0 declination, random-walk contour,
+        vibrato (random rate/depth/phase), amplitude envelope walk;
+      * per-PHONE-INSTANCE duration jitter (lognormal around the
+        speaker's rate) — alignment varies realization to realization;
+      * coarticulation: each phone's filter starts from the previous
+        phone's filter state, plus a short excitation crossfade.
+
+    Every utterance is a unique realization; the token->acoustics
+    mapping stays systematic, so teacher-forced AND free-running
+    held-out metrics can improve only by learning the system.
+    """
+    import h5py
+    from scipy.signal import lfilter, lfiltic
+
+    from parrot_tpu.vocoder import analyze, code_frames, hop_samples
+    from parrot_tpu.vocoder.mulaw import mulaw_encode
+
+    rng = np.random.default_rng(seed)
+    hop = hop_samples(fs)
+
+    # ---- phone inventory (ids 1..vocab_size-1; 0 = pad) ----
+    n_tok = vocab_size
+    voiced = rng.uniform(size=n_tok) > 0.25
+    voiced[0] = True
+    f0s = rng.uniform(95.0, 240.0, size=n_tok)
+    form1 = rng.uniform(280.0, 1100.0, size=n_tok)
+    form2 = form1 * rng.uniform(1.8, 3.2, size=n_tok)
+    # unvoiced phones: noise centered at a "frication" frequency
+    fric = rng.uniform(1500.0, 5000.0, size=n_tok)
+
+    # ---- speaker voices ----
+    spk_f0 = rng.uniform(0.72, 1.38, size=num_speakers)
+    spk_form = rng.uniform(0.82, 1.22, size=num_speakers)
+    spk_bw = rng.uniform(0.86, 0.94, size=num_speakers)     # pole radius
+    spk_breath = rng.uniform(0.02, 0.18, size=num_speakers)
+    spk_rate = rng.uniform(0.8, 1.25, size=num_speakers)
+
+    def resonator(x, freq, r, zi_state):
+        freq = min(freq, 0.45 * fs)
+        a = [1.0, -2.0 * r * np.cos(2 * np.pi * freq / fs), r * r]
+        if zi_state is None:
+            y, zf = lfilter([1.0], a, x, zi=lfiltic([1.0], a, [0.0]))
+        else:
+            y, zf = lfilter([1.0], a, x, zi=zi_state)
+        return y, zf
+
+    features, texts, speakers, audio_q = [], [], [], []
+    for j in range(num_utterances):
+        spk = j % num_speakers
+        u = int(rng.integers(min_chars, max_chars + 1))
+        ids = rng.integers(1, n_tok, size=u).astype(np.int32)
+
+        # utterance prosody
+        decl = rng.uniform(-0.25, 0.0)                  # log-f0 slope
+        vib_rate = rng.uniform(4.0, 7.0)
+        vib_depth = rng.uniform(0.0, 0.035)
+        vib_ph = rng.uniform(0, 2 * np.pi)
+        contour = np.exp(np.cumsum(rng.normal(0, 0.05, size=u)))
+
+        segs, z1, z2 = [], None, None
+        xfade = int(0.010 * fs)
+        tail = np.zeros(0)
+        t_off = 0
+        total = sum(int(fs * char_ms / 1000.0 * spk_rate[spk]
+                        * rng.lognormal(0, 0.22)) for _ in range(u))
+        rng_dur = np.random.default_rng(rng.integers(1 << 31))
+        for ci, k in enumerate(ids):
+            seg_len = max(int(fs * char_ms / 1000.0 * spk_rate[spk]
+                              * rng_dur.lognormal(0, 0.22)), xfade + 8)
+            t = (t_off + np.arange(seg_len)) / fs
+            if voiced[k]:
+                f0_t = (f0s[k] * spk_f0[spk] * contour[ci]
+                        * np.exp(decl * t / max(total / fs, 0.3))
+                        * (1 + vib_depth * np.sin(2 * np.pi * vib_rate * t
+                                                  + vib_ph)))
+                phase = np.cumsum(f0_t / fs)
+                pulses = np.diff(np.floor(phase), prepend=0.0)
+                b = spk_breath[spk]
+                exc = pulses * (1 - b) + b * rng.normal(size=seg_len) * 0.3
+            else:
+                exc = rng.normal(size=seg_len) * 0.25
+            c1 = (form1[k] if voiced[k] else fric[k]) * spk_form[spk]
+            c2 = form2[k] * spk_form[spk]
+            y, z1 = resonator(exc, c1, spk_bw[spk], z1)
+            y, z2 = resonator(y, c2, min(spk_bw[spk] + 0.03, 0.97), z2)
+            if tail.size:  # excitation crossfade with the previous phone
+                n = min(xfade, len(y), len(tail))
+                ramp = np.linspace(0.0, 1.0, n)
+                y[:n] = y[:n] * ramp + tail[:n] * (1 - ramp)
+            tail = y[-xfade:].copy()
+            segs.append(y)
+            t_off += seg_len
+        x = np.concatenate(segs)
+        # amplitude envelope walk (slow, per ~100 ms)
+        n_env = max(len(x) // (fs // 10), 2)
+        env = np.interp(np.arange(len(x)),
+                        np.linspace(0, len(x) - 1, n_env),
+                        np.exp(rng.normal(0, 0.15, size=n_env)))
+        x = x * env
+        x = x / (np.abs(x).max() + 1e-9)
+        x = x + 0.002 * rng.normal(size=len(x))
+
+        f0, sp, ap = analyze(x, fs)
+        feat = code_frames(f0, sp, ap)
+        features.append(feat)
+        audio_q.append(mulaw_encode(0.95 * x[:feat.shape[0] * hop]))
+        texts.append(ids)
+        speakers.append(spk)
+        if progress and (j + 1) % 200 == 0:
+            print(f"  rich corpus: {j + 1}/{num_utterances}", flush=True)
+
+    n_valid = max(8, num_utterances // 12)
+    splits = {"train": list(range(num_utterances - n_valid)),
+              "valid": list(range(num_utterances - n_valid,
+                                  num_utterances))}
+    write_corpus(path, features, texts, speakers, vocab_size=vocab_size,
+                 splits=splits, num_speakers=num_speakers,
+                 audio=audio_q, sample_rate=fs, audio_hop=hop)
+    with h5py.File(path, "a") as f:
+        f.attrs["sample_rate"] = fs
+    return path

@@ -28,9 +28,26 @@ def main():
                         "aligned mu-law audio (for train_vocoder.py / "
                         "end-to-end tests); ignores --frame_size/"
                         "--frames_per_char")
+    p.add_argument("--rich", action="store_true",
+                   help="non-memorizable corpus: per-utterance prosody/"
+                        "duration/coarticulation entropy over a "
+                        "systematic phone inventory (docs/PERFORMANCE.md"
+                        " held-out quality experiments); implies audio")
+    p.add_argument("--min_chars", type=int, default=None)
+    p.add_argument("--max_chars", type=int, default=None)
     a = p.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(a.path)), exist_ok=True)
-    if a.audio:
+    if a.rich:
+        from parrot_tpu.data.fixture import make_rich_corpus
+        kw = {}
+        if a.min_chars is not None:
+            kw["min_chars"] = a.min_chars
+        if a.max_chars is not None:
+            kw["max_chars"] = a.max_chars
+        make_rich_corpus(a.path, num_utterances=a.num_utterances,
+                         vocab_size=a.vocab_size, seed=a.seed,
+                         num_speakers=a.num_speakers, progress=True, **kw)
+    elif a.audio:
         make_audio_fixture_corpus(a.path, num_utterances=a.num_utterances,
                                   vocab_size=a.vocab_size, seed=a.seed,
                                   num_speakers=a.num_speakers)

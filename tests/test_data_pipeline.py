@@ -161,3 +161,39 @@ def test_feature_cache_readonly_and_lazy(corpus):
     g = c0.features(0)
     g[0, 0] = 99.0  # no error; next read unaffected
     assert c0.features(0)[0, 0] != 99.0
+
+
+def test_rich_corpus_layout_and_entropy(tmp_path):
+    """make_rich_corpus (the non-memorizable corpus generator): layout
+    contract + the entropy properties that make it non-memorizable —
+    duration jitter (the same token length varies across realizations),
+    both voiced and unvoiced frames, per-speaker distinct voices."""
+    import h5py
+    from parrot_tpu.data.fixture import make_rich_corpus
+
+    path = str(tmp_path / "rich.h5")
+    make_rich_corpus(path, num_utterances=24, vocab_size=12,
+                     num_speakers=3, min_chars=4, max_chars=8, seed=1)
+    with h5py.File(path) as f:
+        assert f.attrs["frame_size"] == 63
+        assert f.attrs["num_speakers"] == 3
+        fl = f["frame_lengths"][:]
+        tl = f["text_lengths"][:]
+        assert (f["audio_lengths"][:] == fl * f.attrs["audio_hop"]).all()
+        # duration entropy: frames-per-char varies across utterances
+        fpc = fl / tl
+        assert fpc.std() > 0.5, fpc
+        # voicing mix present
+        feats = [f["features"][i].reshape(-1, 63) for i in range(24)]
+        vuv = np.concatenate([x[:, -1] for x in feats])
+        assert 0.1 < (vuv > 0.5).mean() < 0.95
+        # speakers sound different: per-speaker mean voiced log-f0
+        spk = f["speaker"][:]
+        lf0 = []
+        for s in range(3):
+            v = np.concatenate([feats[i][:, -2][feats[i][:, -1] > 0.5]
+                                for i in range(24) if spk[i] == s])
+            lf0.append(v.mean())
+        assert max(lf0) - min(lf0) > 0.05, lf0
+        # every utterance is unique (no accidental duplicates)
+        assert len({x.tobytes() for x in feats}) == 24
