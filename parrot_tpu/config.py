@@ -61,6 +61,22 @@ class ModelConfig:
     stacked_scan: bool = False         # one stacked GEMM per decoder layer
                                        # in the scan body instead of 2-3
                                        # separate dots (measured perf knob)
+    scan_weight_dtype: str = "float32"  # "bfloat16": materialized bf16
+                                       # copies of the scan-resident
+                                       # weight matrices (w_w/hb_w/wh),
+                                       # streamed from HBM every step —
+                                       # halves the dominant train-step
+                                       # weight traffic; params stay f32
+                                       # master. Grad accumulation for
+                                       # these matrices then also runs
+                                       # in bf16 (see PERFORMANCE.md)
+    scan_enc_dtype: str = "float32"    # "bfloat16": stream the (B,U,E)
+                                       # encoder block at bf16 through
+                                       # the decoder scan (the attention
+                                       # context re-reads it every step,
+                                       # and its cotangent accumulates
+                                       # per step) — halves that traffic
+                                       # both ways; see PERFORMANCE.md
     remat_scan: bool = False           # rematerialize the decoder scan body
                                        # (O(1) activation memory per step,
                                        # recompute in backward; for long

@@ -287,7 +287,32 @@ class Parrot:
         dt = cfg.compute_dtype
         hoisted, scan_mats = self._hoist(params, x_in, spk)
         enc = state.enc
+        if cfg.scan_enc_dtype == "bfloat16":
+            # Stream the encoder block at bf16 through the scan: the
+            # attention context re-reads all (B, U, E) of it every step
+            # (and its cotangent accumulates per step in the backward) —
+            # the barrier forces a materialized copy so the halved
+            # traffic is real, not a fused cast of the f32 original.
+            # state.enc itself stays f32 (sampler carry, readout w_t is
+            # an f32 einsum output via preferred_element_type).
+            enc = jax.lax.optimization_barrier(enc.astype(jnp.bfloat16))
         stacked = cfg.stacked_scan
+        if cfg.scan_weight_dtype == "bfloat16":
+            # Materialize bf16 copies of every scan-resident weight
+            # matrix OUTSIDE the scan. The optimization_barrier stops
+            # XLA from re-fusing the cast into the per-step matmuls
+            # (which would stream the f32 originals each timestep —
+            # exactly what made compute_dtype=bfloat16 traffic-neutral,
+            # docs/PERFORMANCE.md). The scan then reads 2 bytes/elem of
+            # weights per step; matmul outputs stay f32
+            # (preferred_element_type). Note the flip side: the
+            # cotangent of a bf16 loop invariant accumulates in bf16
+            # across the scan's backward, so dec-weight grads round to
+            # bf16 per-step sums under this mode.
+            prep = lambda a: jax.lax.optimization_barrier(
+                a.astype(jnp.bfloat16))
+        else:
+            prep = lambda a: _cast(a, dt)
         if stacked:
             # one (B, E[+H]+H) x (E[+H]+H, 4H) GEMM per layer instead of
             # 2-3 separate dots: stack [w_w; (hb_w;) wh] row blocks once
@@ -296,8 +321,14 @@ class Parrot:
             for l in range(self.L):
                 w_w, hb_w = scan_mats[l]
                 blocks = [w_w] + ([hb_w] if hb_w is not None else [])
-                stack_mats.append(_cast(jnp.concatenate(
-                    blocks + [params["dec"][l]["wh"]], axis=0), dt))
+                stack_mats.append(prep(jnp.concatenate(
+                    blocks + [params["dec"][l]["wh"]], axis=0)))
+        else:
+            prep_mats = [(prep(w_w),
+                          prep(hb_w) if hb_w is not None else None)
+                         for w_w, hb_w in scan_mats]
+            prep_wh = [prep(params["dec"][l]["wh"])
+                       for l in range(self.L)]
 
         def body(carry, t_in):
             hs, kappa, w = carry
@@ -310,10 +341,14 @@ class Parrot:
                     in0, stack_mats[0], preferred_element_type=jnp.float32)
                 h1, c1 = self._cell_activations(params["dec"][0], hs[0], g0)
             else:
-                w_w0, _ = scan_mats[0]
-                g0 = gates_x[0] + jnp.dot(_cast(w, dt), _cast(w_w0, dt),
-                                          preferred_element_type=jnp.float32)
-                h1, c1 = self._cell_step(params["dec"][0], hs[0], g0)
+                w_w0, _ = prep_mats[0]
+                g0 = (gates_x[0]
+                      + jnp.dot(_cast(w, dt), w_w0,
+                                preferred_element_type=jnp.float32)
+                      + jnp.dot(_cast(hs[0][0], dt), prep_wh[0],
+                                preferred_element_type=jnp.float32))
+                h1, c1 = self._cell_activations(params["dec"][0], hs[0],
+                                                g0)
             h1 = m * h1 + (1 - m) * hs[0][0]
             c1 = m * c1 + (1 - m) * hs[0][1]
             new_hs.append((h1, c1))
@@ -334,13 +369,16 @@ class Parrot:
                     hl, cl = self._cell_activations(params["dec"][l],
                                                     hs[l], gl)
                 else:
-                    w_wl, hb_wl = scan_mats[l]
+                    w_wl, hb_wl = prep_mats[l]
                     gl = (gates_x[l]
-                          + jnp.dot(_cast(w_t, dt), _cast(w_wl, dt),
+                          + jnp.dot(_cast(w_t, dt), w_wl,
                                     preferred_element_type=jnp.float32)
-                          + jnp.dot(_cast(h_below, dt), _cast(hb_wl, dt),
+                          + jnp.dot(_cast(h_below, dt), hb_wl,
+                                    preferred_element_type=jnp.float32)
+                          + jnp.dot(_cast(hs[l][0], dt), prep_wh[l],
                                     preferred_element_type=jnp.float32))
-                    hl, cl = self._cell_step(params["dec"][l], hs[l], gl)
+                    hl, cl = self._cell_activations(params["dec"][l],
+                                                    hs[l], gl)
                 hl = m * hl + (1 - m) * hs[l][0]
                 cl = m * cl + (1 - m) * hs[l][1]
                 new_hs.append((hl, cl))
@@ -355,7 +393,7 @@ class Parrot:
             scan_body, init, xs, unroll=cfg.scan_unroll)
         readouts = jnp.tanh(Linear.apply(params["readout"], feats, dt))
         raw = Linear.apply(params["head"], readouts, dt)
-        new_state = DecoderState(hs=hs, kappa=kappa, w=w, enc=enc,
+        new_state = DecoderState(hs=hs, kappa=kappa, w=w, enc=state.enc,
                                  x_last=state.x_last)
         if with_intermediates:
             return raw, new_state, phis, {"feats": feats,

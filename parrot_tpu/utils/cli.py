@@ -45,6 +45,15 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat_scan", action="store_true", default=None)
+    p.add_argument("--scan_weight_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: stream bf16 copies of the scan-"
+                        "resident decoder weights (train-step traffic "
+                        "lever, docs/PERFORMANCE.md)")
+    p.add_argument("--scan_enc_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: stream the encoder block at bf16 "
+                        "through the decoder scan")
 
 
 def train_parse(argv=None) -> ParrotConfig:
@@ -154,7 +163,8 @@ def _build_config(args, train_keys) -> ParrotConfig:
         "embed_dim", "decoder_layers", "attention_mixtures",
         "attention_alignment", "num_mixtures", "use_speaker",
         "num_speakers", "speaker_dim", "layer_norm",
-        "feedback_noise_level", "compute_dtype", "remat_scan"])
+        "feedback_noise_level", "compute_dtype", "remat_scan",
+        "scan_weight_dtype", "scan_enc_dtype"])
     data = overrides(cfg.data, ["dataset", "data_dir", "batch_size",
                                 "seq_size", "max_text_len", "norm_stats"])
     train = overrides(cfg.train, train_keys)

@@ -42,6 +42,15 @@ def main():
                         "activations in the backward pass)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--scan_weight_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: stream materialized bf16 copies of "
+                        "the scan-resident weight matrices "
+                        "(ModelConfig.scan_weight_dtype)")
+    p.add_argument("--scan_enc_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: stream the encoder block at bf16 "
+                        "through the scan (ModelConfig.scan_enc_dtype)")
     p.add_argument("--stacked_scan", action="store_true",
                    help="one stacked GEMM per decoder layer in the scan "
                         "body (ModelConfig.stacked_scan)")
@@ -58,7 +67,9 @@ def main():
     from parrot_tpu.train.optim import adam_init, adam_update
 
     cfg = ModelConfig(remat_scan=a.remat, compute_dtype=a.compute_dtype,
-                      stacked_scan=a.stacked_scan)
+                      stacked_scan=a.stacked_scan,
+                      scan_weight_dtype=a.scan_weight_dtype,
+                      scan_enc_dtype=a.scan_enc_dtype)
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

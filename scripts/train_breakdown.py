@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Train-step time decomposition on the real chip (perf accountability,
+docs/PERFORMANCE.md). Times a ladder of partial programs so the step's
+cost splits into encoder / decoder-scan / attention / readout+head /
+backward / Adam contributions:
+
+  python scripts/train_breakdown.py --batch_size 256 [--knobs]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--seq_size", type=int, default=50)
+    p.add_argument("--max_text_len", type=int, default=128)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--knobs", action="store_true",
+                   help="scan_weight_dtype=scan_enc_dtype=bfloat16")
+    p.add_argument("--cpu", action="store_true")
+    a = p.parse_args()
+
+    import jax
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from parrot_tpu.config import ModelConfig, TrainConfig
+    from parrot_tpu.data.pipeline import Batch
+    from parrot_tpu.models import Parrot
+    from parrot_tpu.train.optim import adam_init, adam_update
+
+    kw = ({"scan_weight_dtype": "bfloat16", "scan_enc_dtype": "bfloat16"}
+          if a.knobs else {})
+    cfg = ModelConfig(**kw)
+    tcfg = TrainConfig()
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = adam_init(params)
+    B, S, U, D = a.batch_size, a.seq_size, a.max_text_len, cfg.frame_size
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        features=jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32),
+        features_mask=jnp.ones((B, S)),
+        prev_frame=jnp.zeros((B, D)),
+        text=jnp.asarray(rng.integers(1, cfg.vocab_size, (B, U)), jnp.int32),
+        text_mask=jnp.ones((B, U)),
+        speaker=jnp.zeros((B,), jnp.int32),
+        start_flag=jnp.float32(1.0))
+    norm = {"mean": jnp.zeros((D,)), "std": jnp.ones((D,))}
+    dstate = model.init_state(B, U)
+
+    def timed(name, fn, *args):
+        c = jax.jit(fn).lower(*args).compile()
+        out = c(*args)
+        np.asarray(jax.tree.leaves(out)[0])  # warm + fence
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(a.reps):
+                out = c(*args)
+            np.asarray(jax.tree.leaves(out)[0])
+            ts.append((time.time() - t0) / a.reps)
+        ms = sorted(ts)[1] * 1e3
+        print(f"{name:42s} {ms:8.2f} ms")
+        return ms
+
+    # ladder ------------------------------------------------------------
+    def enc_only(p):
+        return model.encode(p, batch.text, batch.text_mask)
+
+    def loss_only(p):
+        return model.compute_cost(p, norm, batch, dstate)[0]
+
+    def scan_no_head(p):
+        # decoder scan including attention, but skip readout/head/NLL
+        st = jax.tree.map(lambda z: 0.0 * z, dstate)
+        enc = model.encode(p, batch.text, batch.text_mask)
+        st = st._replace(enc=enc)
+        xn = (batch.features - norm["mean"]) / norm["std"]
+        x_in = xn.transpose(1, 0, 2)
+        raw, _, _ = model.scan_decoder(p, st, x_in,
+                                       batch.features_mask.T,
+                                       batch.text_mask, None)
+        return raw.sum()
+
+    def grad_full(p):
+        return jax.grad(lambda q: model.compute_cost(
+            q, norm, batch, dstate)[0])(p)
+
+    def grad_scan_no_head(p):
+        return jax.grad(scan_no_head)(p)
+
+    def full_step(p, o):
+        loss, st, m = model.compute_cost(p, norm, batch, dstate)
+        grads = jax.grad(lambda q: model.compute_cost(
+            q, norm, batch, dstate)[0])(p)
+        p2, o2, _ = adam_update(p, grads, o, tcfg)
+        return p2, o2, loss
+
+    def adam_only(p, o):
+        grads = jax.tree.map(jnp.ones_like, p)
+        return adam_update(p, grads, o, tcfg)[0]
+
+    t_enc = timed("encoder fwd", enc_only, params)
+    t_fwd = timed("full fwd (loss)", loss_only, params)
+    t_scan = timed("enc+scan fwd (no readout/head/NLL)", scan_no_head,
+                   params)
+    t_gscan = timed("grad(enc+scan)", grad_scan_no_head, params)
+    t_grad = timed("grad(full)", grad_full, params)
+    t_adam = timed("adam only", adam_only, params, opt_state)
+    t_step = timed("full step (fwd+bwd+adam)", full_step, params,
+                   opt_state)
+
+    print()
+    print(f"scan fwd (minus encoder)      ~{t_scan - t_enc:7.2f} ms")
+    print(f"readout/head/NLL fwd          ~{t_fwd - t_scan:7.2f} ms")
+    print(f"backward total                ~{t_grad - t_fwd:7.2f} ms")
+    print(f"backward of scan part         ~{t_gscan - t_scan:7.2f} ms")
+    print(f"backward of readout/head/NLL  ~{(t_grad - t_fwd) - (t_gscan - t_scan):7.2f} ms")
+    print(f"adam                          ~{t_adam:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

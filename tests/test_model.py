@@ -287,3 +287,39 @@ def test_scan_unroll_equivalence():
         loss, _, _ = model.compute_cost(params, norm_id(7), batch, None)
         losses.append(float(loss))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+def test_bf16_streaming_knobs_grad_parity():
+    """scan_weight_dtype / scan_enc_dtype = bfloat16 stream materialized
+    bf16 copies through the scan (a train-step HBM-traffic lever,
+    docs/PERFORMANCE.md). The math must stay the same computation to
+    bf16 rounding: loss and every gradient within ~1% of the f32 run,
+    and the carried state's enc must stay f32."""
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    norm = norm_id(7)
+
+    def lossg(cfg):
+        m = Parrot(cfg)
+        p = m.init_params(jax.random.PRNGKey(0))
+        f = lambda q: m.compute_cost(q, norm, batch, None)[0]
+        return jax.jit(jax.value_and_grad(f))(p)
+
+    l0, g0 = lossg(tiny_cfg())
+    for kw in ({"scan_weight_dtype": "bfloat16"},
+               {"scan_enc_dtype": "bfloat16"},
+               {"scan_weight_dtype": "bfloat16",
+                "scan_enc_dtype": "bfloat16"}):
+        l1, g1 = lossg(tiny_cfg(**kw))
+        assert abs(float(l1) - float(l0)) < 1e-2 * abs(float(l0)), kw
+        rel = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(a - b))
+                               / (np.max(np.abs(a)) + 1e-9)), g0, g1)
+        worst = max(jax.tree.leaves(rel))
+        assert worst < 0.05, (kw, worst)
+
+    m = Parrot(tiny_cfg(scan_weight_dtype="bfloat16",
+                        scan_enc_dtype="bfloat16"))
+    p = m.init_params(jax.random.PRNGKey(0))
+    _, st, _ = m.compute_cost(p, norm, batch, None)
+    assert st.enc.dtype == jnp.float32
