@@ -108,8 +108,16 @@ class Parrot:
         dt = self.cfg.compute_dtype
         x = Embedding.apply(params["embed"], text).transpose(1, 0, 2)
         mask_t = text_mask.T
+        split = self.cfg.split_backward and not self.cfg.layer_norm
+        if split:
+            from parrot_tpu.nn.recurrent import bidirectional_lstm_split
         for pf, pb in zip(params["enc_fwd"], params["enc_bwd"]):
-            x = bidirectional_lstm(pf, pb, x, mask_t, compute_dtype=dt)
+            if split:
+                x = bidirectional_lstm_split(pf, pb, x, mask_t,
+                                             compute_dtype=dt)
+            else:
+                x = bidirectional_lstm(pf, pb, x, mask_t,
+                                       compute_dtype=dt)
         return x.transpose(1, 0, 2)                           # (B, U, E)
 
     def init_state(self, batch_size: int, text_len: int) -> DecoderState:
@@ -245,10 +253,20 @@ class Parrot:
 
         pred_n = None
         if cfg.which_cost == "GMM":
-            mu, ls, pi = split_gmm_params(raw, D, cfg.num_mixtures,
-                                          cfg.min_log_sigma)
-            cost = gmm_nll(x_tgt, mu, ls, pi)                  # (T, B)
+            def nll_fn(raw_, x_):
+                mu_, ls_, pi_ = split_gmm_params(
+                    raw_, D, cfg.num_mixtures, cfg.min_log_sigma)
+                return gmm_nll(x_, mu_, ls_, pi_)              # (T, B)
+            if cfg.remat_head:
+                # recompute the (T, B, M, D) NLL intermediates in the
+                # backward instead of saving them (perf knob,
+                # docs/PERFORMANCE.md round 3)
+                cost = jax.checkpoint(nll_fn)(raw, x_tgt)
+            else:
+                cost = nll_fn(raw, x_tgt)
             if with_predictions:
+                mu, ls, pi = split_gmm_params(raw, D, cfg.num_mixtures,
+                                              cfg.min_log_sigma)
                 w_m = jax.nn.softmax(pi, axis=-1)              # (T, B, M)
                 pred_n = jnp.einsum("tbm,tbmd->tbd", w_m, mu)
         else:
@@ -297,6 +315,32 @@ class Parrot:
             # an f32 einsum output via preferred_element_type).
             enc = jax.lax.optimization_barrier(enc.astype(jnp.bfloat16))
         stacked = cfg.stacked_scan
+        if (cfg.split_backward and not with_intermediates
+                and not (cfg.layer_norm or stacked or cfg.remat_scan)):
+            # hand-written VJP: reverse scan carries only the recurrent
+            # cotangents; weight grads become post-hoc GEMMs
+            # (models/scan_vjp.py; docs/PERFORMANCE.md round 3)
+            from parrot_tpu.models.scan_vjp import make_decoder_scan
+            fn = make_decoder_scan(
+                self.L, self.H, self.K, self.E, cfg.attention_alignment,
+                residual_dtype=(jnp.bfloat16
+                                if cfg.scan_residual_dtype == "bfloat16"
+                                else jnp.float32))
+            layers_t = []
+            for l in range(self.L):
+                w_w, hb_w = scan_mats[l]
+                layers_t.append((w_w, hb_w, params["dec"][l]["wh"]))
+            params_t = (params["attn"]["proj"]["w"],
+                        params["attn"]["proj"]["b"], tuple(layers_t))
+            init = (state.hs, state.kappa, state.w)
+            feats, phis, (hs, kappa, w) = fn(
+                params_t, tuple(hoisted), mask, enc, text_mask, init)
+            readouts = jnp.tanh(Linear.apply(params["readout"], feats,
+                                             dt))
+            raw = Linear.apply(params["head"], readouts, dt)
+            new_state = DecoderState(hs=hs, kappa=kappa, w=w,
+                                     enc=state.enc, x_last=state.x_last)
+            return raw, new_state, phis
         if cfg.scan_weight_dtype == "bfloat16":
             # Materialize bf16 copies of every scan-resident weight
             # matrix OUTSIDE the scan. The optimization_barrier stops

@@ -128,3 +128,139 @@ def bidirectional_lstm(p_fwd, p_bwd, xs, mask, compute_dtype="float32"):
     hs_b, _ = lstm_scan(p_bwd, xs, z, mask, reverse=True,
                         compute_dtype=compute_dtype)
     return jnp.concatenate([hs_f, hs_b], axis=-1)
+
+
+def _make_lstm_scan_split(reverse: bool):
+    """lstm_scan with a hand-written VJP (same idea as
+    models/scan_vjp.py, docs/PERFORMANCE.md round 3): the reverse pass
+    carries only (dh, dc) and emits per-step dgates; dwh becomes one
+    post-hoc (T*B)-row GEMM and db one column sum, instead of XLA's
+    per-step weight-cotangent accumulation in the scan carry.
+
+    Plain (non-layer-norm) cells only — the caller guards. Forward
+    values are bit-identical to lstm_scan's scan body.
+    """
+
+    def fwd_step(wh, b, carry, t_in):
+        h, c = carry
+        xp, m = t_in
+        gates = xp + jnp.dot(h, wh,
+                             preferred_element_type=jnp.float32) + b
+        hd = h.shape[-1]
+        i = jax.nn.sigmoid(gates[..., :hd])
+        f = jax.nn.sigmoid(gates[..., hd:2 * hd])
+        g = jnp.tanh(gates[..., 2 * hd:3 * hd])
+        o = jax.nn.sigmoid(gates[..., 3 * hd:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m[:, None]
+        h_new = m * h_new + (1.0 - m) * h
+        c_new = m * c_new + (1.0 - m) * c
+        return (h_new, c_new), (h_new, gates)
+
+    @jax.custom_vjp
+    def run(wh, b, x_proj, mask, init):
+        final, (hs, _) = jax.lax.scan(
+            lambda cy, x: fwd_step(wh, b, cy, x), init, (x_proj, mask),
+            reverse=reverse)
+        return hs, final
+
+    def run_fwd(wh, b, x_proj, mask, init):
+        final, (hs, gates) = jax.lax.scan(
+            lambda cy, x: fwd_step(wh, b, cy, x), init, (x_proj, mask),
+            reverse=reverse)
+        return (hs, final), (wh, gates, hs, mask, init)
+
+    def run_bwd(res, cts):
+        wh, gates, hs, mask, init = res
+        dhs_up, (dh_fin, dc_fin) = cts
+        H = wh.shape[0]
+
+        # previous-step h/c along the SCAN direction: for reverse=True
+        # step t's predecessor is t+1
+        def shift_prev(seq, x0):
+            if reverse:
+                return jnp.concatenate([seq[1:], x0[None]], axis=0)
+            return jnp.concatenate([x0[None], seq[:-1]], axis=0)
+
+        h_prev = shift_prev(hs, init[0])
+        # the c sequence was not saved; replay it from the saved gates
+        # (pure elementwise, no GEMM — cheaper than storing another
+        # (T, B, H) residual): c_t = m*(f*c_prev + i*g) + (1-m)*c_prev
+        def c_step(c_prev, t_in):
+            g_t, m = t_in
+            i = jax.nn.sigmoid(g_t[..., :H])
+            f = jax.nn.sigmoid(g_t[..., H:2 * H])
+            z = jnp.tanh(g_t[..., 2 * H:3 * H])
+            c_new = f * c_prev + i * z
+            m = m[:, None]
+            c_new = m * c_new + (1.0 - m) * c_prev
+            return c_new, c_new
+        _, cs = jax.lax.scan(c_step, init[1], (gates, mask),
+                             reverse=reverse)
+        c_prev = shift_prev(cs, init[1])
+
+        def bwd_step(carry, t_in):
+            dh, dc = carry
+            dh_up, g_t, cp, m = t_in
+            m = m[:, None]
+            dh_tot = dh + dh_up
+            i = jax.nn.sigmoid(g_t[..., :H])
+            f = jax.nn.sigmoid(g_t[..., H:2 * H])
+            z = jnp.tanh(g_t[..., 2 * H:3 * H])
+            o = jax.nn.sigmoid(g_t[..., 3 * H:])
+            cpv = f * cp + i * z
+            tc = jnp.tanh(cpv)
+            dhp = m * dh_tot
+            dcp = m * dc + dhp * o * (1 - tc * tc)
+            dg = jnp.concatenate([
+                dcp * z * i * (1 - i),
+                dcp * cp * f * (1 - f),
+                dcp * i * (1 - z * z),
+                dhp * tc * o * (1 - o)], axis=-1)
+            dh_new = (1 - m) * dh_tot + jnp.dot(
+                dg, wh.T, preferred_element_type=jnp.float32)
+            dc_new = (1 - m) * dc + dcp * f
+            return (dh_new, dc_new), dg
+
+        (dh0, dc0), dgates = jax.lax.scan(
+            bwd_step, (dh_fin, dc_fin), (dhs_up, gates, c_prev, mask),
+            reverse=not reverse)
+
+        T, B = mask.shape
+        dg_flat = dgates.reshape(T * B, 4 * H)
+        dwh = jnp.dot(h_prev.reshape(T * B, H).T, dg_flat,
+                      preferred_element_type=jnp.float32)
+        db = dg_flat.sum(axis=0)
+        dmask = jnp.zeros_like(mask)
+        return dwh, db, dgates, dmask, (dh0, dc0)
+
+    run.defvjp(run_fwd, run_bwd)
+    return run
+
+
+_LSTM_SCAN_SPLIT = {True: _make_lstm_scan_split(True),
+                    False: _make_lstm_scan_split(False)}
+
+
+def lstm_scan_split(p, xs, init_state, mask, reverse=False,
+                    compute_dtype="float32"):
+    """lstm_scan with the hand-written VJP (plain cells only)."""
+    assert "ln_g" not in p, "split-backward scan excludes layer_norm"
+    x_proj = LSTMCell.input_proj(p, xs, compute_dtype)
+    hs, final = _LSTM_SCAN_SPLIT[bool(reverse)](
+        p["wh"], p["b"], x_proj, mask, init_state)
+    return hs, final
+
+
+def bidirectional_lstm_split(p_fwd, p_bwd, xs, mask,
+                             compute_dtype="float32"):
+    """bidirectional_lstm via lstm_scan_split (see that docstring)."""
+    B = xs.shape[1]
+    H = p_fwd["wh"].shape[0]
+    z = LSTMCell.zero_state(B, H)
+    hs_f, _ = lstm_scan_split(p_fwd, xs, z, mask, reverse=False,
+                              compute_dtype=compute_dtype)
+    hs_b, _ = lstm_scan_split(p_bwd, xs, z, mask, reverse=True,
+                              compute_dtype=compute_dtype)
+    return jnp.concatenate([hs_f, hs_b], axis=-1)

@@ -51,6 +51,16 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="bfloat16: stream the encoder block at bf16 "
                         "through the scan (ModelConfig.scan_enc_dtype)")
+    p.add_argument("--scan_residual_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: store the split-backward gate "
+                        "residuals at bf16 (ModelConfig)")
+    p.add_argument("--remat_head", action="store_true",
+                   help="recompute the GMM NLL intermediates in the "
+                        "backward (ModelConfig.remat_head)")
+    p.add_argument("--split_backward", action="store_true",
+                   help="hand-written decoder-scan VJP with post-hoc "
+                        "weight-grad GEMMs (ModelConfig.split_backward)")
     p.add_argument("--stacked_scan", action="store_true",
                    help="one stacked GEMM per decoder layer in the scan "
                         "body (ModelConfig.stacked_scan)")
@@ -69,7 +79,10 @@ def main():
     cfg = ModelConfig(remat_scan=a.remat, compute_dtype=a.compute_dtype,
                       stacked_scan=a.stacked_scan,
                       scan_weight_dtype=a.scan_weight_dtype,
-                      scan_enc_dtype=a.scan_enc_dtype)
+                      scan_enc_dtype=a.scan_enc_dtype,
+                      split_backward=a.split_backward,
+                      scan_residual_dtype=a.scan_residual_dtype,
+                      remat_head=a.remat_head)
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

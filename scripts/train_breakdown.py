@@ -71,17 +71,26 @@ def main():
         print(f"{name:42s} {ms:8.2f} ms")
         return ms
 
-    # ladder ------------------------------------------------------------
+    # ladder (every program returns a SCALAR or small tree leaf-first —
+    # the timing fence transfers the first leaf to host, and a large
+    # first output would time the tunnel, not the chip) ----------------
+    enc_const = jax.device_put(np.asarray(
+        jax.jit(lambda p: model.encode(p, batch.text, batch.text_mask))(
+            params)))
+
     def enc_only(p):
-        return model.encode(p, batch.text, batch.text_mask)
+        return model.encode(p, batch.text, batch.text_mask).sum()
+
+    def grad_enc(p):
+        return jax.grad(enc_only)(p)
 
     def loss_only(p):
         return model.compute_cost(p, norm, batch, dstate)[0]
 
-    def scan_no_head(p):
-        # decoder scan including attention, but skip readout/head/NLL
+    def scan_given_enc(p, enc):
+        # decoder scan + attention from a PRECOMPUTED encoder block;
+        # skip readout/head/NLL
         st = jax.tree.map(lambda z: 0.0 * z, dstate)
-        enc = model.encode(p, batch.text, batch.text_mask)
         st = st._replace(enc=enc)
         xn = (batch.features - norm["mean"]) / norm["std"]
         x_in = xn.transpose(1, 0, 2)
@@ -90,40 +99,42 @@ def main():
                                        batch.text_mask, None)
         return raw.sum()
 
+    def grad_scan_given_enc(p, enc):
+        return jax.grad(scan_given_enc)(p, enc)
+
     def grad_full(p):
         return jax.grad(lambda q: model.compute_cost(
             q, norm, batch, dstate)[0])(p)
 
-    def grad_scan_no_head(p):
-        return jax.grad(scan_no_head)(p)
-
     def full_step(p, o):
-        loss, st, m = model.compute_cost(p, norm, batch, dstate)
         grads = jax.grad(lambda q: model.compute_cost(
             q, norm, batch, dstate)[0])(p)
         p2, o2, _ = adam_update(p, grads, o, tcfg)
-        return p2, o2, loss
+        return p2, o2
 
     def adam_only(p, o):
         grads = jax.tree.map(jnp.ones_like, p)
         return adam_update(p, grads, o, tcfg)[0]
 
-    t_enc = timed("encoder fwd", enc_only, params)
+    t_enc = timed("encoder fwd (scalar fence)", enc_only, params)
+    t_genc = timed("grad(encoder)", grad_enc, params)
     t_fwd = timed("full fwd (loss)", loss_only, params)
-    t_scan = timed("enc+scan fwd (no readout/head/NLL)", scan_no_head,
-                   params)
-    t_gscan = timed("grad(enc+scan)", grad_scan_no_head, params)
+    t_scan = timed("decoder scan fwd (given enc, no head)",
+                   scan_given_enc, params, enc_const)
+    t_gscan = timed("grad(decoder scan, given enc)", grad_scan_given_enc,
+                    params, enc_const)
     t_grad = timed("grad(full)", grad_full, params)
     t_adam = timed("adam only", adam_only, params, opt_state)
     t_step = timed("full step (fwd+bwd+adam)", full_step, params,
                    opt_state)
 
     print()
-    print(f"scan fwd (minus encoder)      ~{t_scan - t_enc:7.2f} ms")
-    print(f"readout/head/NLL fwd          ~{t_fwd - t_scan:7.2f} ms")
+    print(f"encoder fwd                   ~{t_enc:7.2f} ms; "
+          f"fwd+bwd ~{t_genc:7.2f} ms")
+    print(f"decoder scan fwd              ~{t_scan:7.2f} ms; "
+          f"fwd+bwd ~{t_gscan:7.2f} ms")
+    print(f"readout/head/NLL fwd          ~{t_fwd - t_scan - t_enc:7.2f} ms")
     print(f"backward total                ~{t_grad - t_fwd:7.2f} ms")
-    print(f"backward of scan part         ~{t_gscan - t_scan:7.2f} ms")
-    print(f"backward of readout/head/NLL  ~{(t_grad - t_fwd) - (t_gscan - t_scan):7.2f} ms")
     print(f"adam                          ~{t_adam:7.2f} ms")
 
 

@@ -323,3 +323,45 @@ def test_bf16_streaming_knobs_grad_parity():
     p = m.init_params(jax.random.PRNGKey(0))
     _, st, _ = m.compute_cost(p, norm, batch, None)
     assert st.enc.dtype == jnp.float32
+
+
+def test_split_backward_grad_parity():
+    """ModelConfig.split_backward (hand-written decoder-scan + encoder
+    VJPs, models/scan_vjp.py + nn/recurrent.lstm_scan_split) and
+    remat_head must reproduce the autodiff gradients exactly (same
+    math, f32 reduction-order differences only) with a bit-identical
+    forward, including masked rows, speaker conditioning, carried
+    TBPTT state, and a 2-layer encoder."""
+    import dataclasses
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, start=0.0)
+    norm = norm_id(7)
+    base = tiny_cfg(use_speaker=True, num_speakers=3, speaker_dim=4,
+                    encoder_layers=2)
+
+    def run(cfg):
+        m = Parrot(cfg)
+        p = m.init_params(jax.random.PRNGKey(0))
+        st = m.init_state(3, 6)
+        st = st._replace(kappa=st.kappa + 0.3,
+                         w=st.w + 0.1,
+                         x_last=st.x_last + 0.05)
+        def f(q):
+            loss, ns, _ = m.compute_cost(q, norm, batch, st)
+            return loss, ns
+        (loss, ns), g = jax.jit(
+            jax.value_and_grad(f, has_aux=True))(p)
+        return loss, ns, g
+
+    l0, s0, g0 = run(base)
+    for kw in ({"split_backward": True},
+               {"split_backward": True, "remat_head": True}):
+        l1, s1, g1 = run(dataclasses.replace(base, **kw))
+        assert float(l1) == float(l0), kw   # forward bit-identical
+        for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        rel = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(a - b))
+                               / (np.max(np.abs(a)) + 1e-12)), g0, g1)
+        worst = max(jax.tree.leaves(rel))
+        assert worst < 1e-5, (kw, worst)
