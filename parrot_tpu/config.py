@@ -77,25 +77,30 @@ class ModelConfig:
                                        # and its cotangent accumulates
                                        # per step) — halves that traffic
                                        # both ways; see PERFORMANCE.md
-    scan_residual_dtype: str = "float32"  # "bfloat16": store the
-                                       # split-backward scan's gate
-                                       # residuals at bf16 (halves the
-                                       # largest residual stream;
-                                       # ~1e-3 relative grad rounding)
+    scan_residual_dtype: str = "bfloat16"  # store the split-backward
+                                       # scan's gate residuals at bf16
+                                       # (halves the largest residual
+                                       # stream; ~1e-3 relative grad
+                                       # rounding; +16% measured step
+                                       # throughput with split_backward
+                                       # — docs/PERFORMANCE.md).
+                                       # "float32" for bit-strict grads
     remat_head: bool = False           # recompute the GMM NLL (and its
                                        # (T,B,M,D) intermediates) in the
                                        # backward instead of saving them
                                        # (jax.checkpoint on the head
                                        # cost; trades elementwise
                                        # recompute for residual traffic)
-    split_backward: bool = False       # hand-written decoder-scan VJP:
-                                       # the reverse scan carries only
-                                       # the recurrent cotangents; all
-                                       # weight grads + the encoder
-                                       # cotangent become post-hoc
-                                       # (T*B)-row GEMMs (scan_vjp.py).
-                                       # Excludes layer_norm /
-                                       # stacked_scan / remat_scan
+    split_backward: bool = True        # hand-written decoder-scan +
+                                       # encoder VJPs: the reverse scan
+                                       # carries only the recurrent
+                                       # cotangents; all weight grads +
+                                       # the encoder cotangent become
+                                       # post-hoc (T*B)-row GEMMs
+                                       # (scan_vjp.py; +11.5% measured
+                                       # step time). Auto-falls back for
+                                       # layer_norm / stacked_scan /
+                                       # remat_scan / parity probes
     remat_scan: bool = False           # rematerialize the decoder scan body
                                        # (O(1) activation memory per step,
                                        # recompute in backward; for long

@@ -133,7 +133,7 @@ def make_decoder_scan(L: int, H: int, K: int, E: int, alignment: float,
     # ------------------------------------------------------------------
     def scan(params_t, gates_x, mask, enc, text_mask, init):
         xs = tuple(gates_x) + (mask,)
-        carry, (feats, phis, _) = jax.lax.scan(
+        carry, (feats, phis) = jax.lax.scan(
             lambda c, x: _drop_saved(fwd_step(params_t, enc, text_mask,
                                               c, x)), init, xs)
         return feats, phis, carry

@@ -353,9 +353,14 @@ def test_split_backward_grad_parity():
             jax.value_and_grad(f, has_aux=True))(p)
         return loss, ns, g
 
+    base = dataclasses.replace(base, split_backward=False)
     l0, s0, g0 = run(base)
-    for kw in ({"split_backward": True},
-               {"split_backward": True, "remat_head": True}):
+    # (strict f32 residuals for the 1e-5 check; the bf16-residual
+    # default is checked at its own tolerance below)
+    for kw in ({"split_backward": True,
+                "scan_residual_dtype": "float32"},
+               {"split_backward": True, "scan_residual_dtype": "float32",
+                "remat_head": True}):
         l1, s1, g1 = run(dataclasses.replace(base, **kw))
         assert float(l1) == float(l0), kw   # forward bit-identical
         for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
@@ -365,3 +370,15 @@ def test_split_backward_grad_parity():
                                / (np.max(np.abs(a)) + 1e-12)), g0, g1)
         worst = max(jax.tree.leaves(rel))
         assert worst < 1e-5, (kw, worst)
+
+    # default mode: bf16 gate residuals — forward still bit-identical,
+    # grads within bf16 rounding of autodiff
+    l2, s2, g2 = run(dataclasses.replace(base, split_backward=True,
+                                         scan_residual_dtype="bfloat16"))
+    assert float(l2) == float(l0)
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rel2 = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))
+                           / (np.max(np.abs(a)) + 1e-12)), g0, g2)
+    assert max(jax.tree.leaves(rel2)) < 0.03
