@@ -133,9 +133,28 @@ def mcd_report(model: Parrot, params, norm, corpus: H5Corpus,
             fr_dists.append(mcd(ref[:, :n_sp], frames[r, :L, :n_sp],
                                 use_dtw=True))
 
+    # --- shuffled-pair calibration baseline: DTW-MCD between MISMATCHED
+    # reference utterances (same speaker where possible). Free-running
+    # MCD is only meaningful relative to this — it is what a model that
+    # produces fluent but text-unrelated speech would score.
+    sh_dists = []
+    refs = [corpus.features(int(i)) for i in idx]
+    spks = [int(corpus.speaker(int(i))) for i in idx]
+    for a_i in range(len(idx)):
+        cands = [b_i for b_i in range(len(idx))
+                 if b_i != a_i and spks[b_i] == spks[a_i]] or \
+                [b_i for b_i in range(len(idx)) if b_i != a_i]
+        if not cands:
+            continue
+        b_i = cands[a_i % len(cands)]
+        sh_dists.append(mcd(refs[a_i][:, :n_sp], refs[b_i][:, :n_sp],
+                            use_dtw=True))
+
     return {
         "teacher_forced_mcd": float(tf_mcd),
         "free_running_mcd": float(np.mean(fr_dists)) if fr_dists else float("nan"),
+        "shuffled_pair_mcd": (float(np.mean(sh_dists)) if sh_dists
+                              else float("nan")),
         "valid_nll": (nll_sum / frames_sum if frames_sum
                       else float("nan")),
         "num_utterances": len(idx),

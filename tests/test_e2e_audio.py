@@ -103,3 +103,7 @@ def test_mcd_report(audio_corpus, tmp_path):
     assert rep["teacher_forced_mcd"] > 0
     assert np.isfinite(rep["valid_nll"])
     assert np.isfinite(rep["free_running_mcd"])
+    # the shuffled-pair calibration baseline (mismatched reference
+    # pairs): finite and nonzero — free-running MCD is read against it
+    assert np.isfinite(rep["shuffled_pair_mcd"])
+    assert rep["shuffled_pair_mcd"] > 0
