@@ -182,11 +182,13 @@ def test_dtw_mcd_scales_to_real_utterances():
     rng = np.random.default_rng(3)
     a = rng.normal(size=(2000, 60))
     b = a + 0.1 * rng.normal(size=(2000, 60))
-    t0 = time.perf_counter()
-    d = mcd(a, b, use_dtw=True)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: robust to background load on the host
+        t0 = time.perf_counter()
+        d = mcd(a, b, use_dtw=True)
+        dt = min(dt, time.perf_counter() - t0)
     assert np.isfinite(d) and d > 0
-    assert dt < 1.0, f"2000-frame DTW MCD took {dt:.2f}s"
+    assert dt < 1.0, f"2000-frame DTW MCD took {dt:.2f}s (best of 3)"
 
 
 def test_write_wav(tmp_path, vowel_analysis):
