@@ -170,22 +170,49 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
             step = -1
         return (step, _stage_index(div))
 
+    def worst_err(rep):
+        return max(r["max_abs_err"] for r in rep.values())
+
+    def prefix_err(rep, div):
+        """Worst error over the stages BEFORE the first divergence —
+        the tie-breaker between candidates that diverge at the same
+        place: a candidate whose clean prefix is exact (roundoff) beats
+        one that merely slipped under `tol` in a near-linear regime."""
+        from parrot_tpu.train.parity import _stage_index
+        cut = _stage_index(div) if div else np.inf
+        errs = [r["max_abs_err"] for name, r in rep.items()
+                if _stage_index(name) < cut]
+        return max(errs) if errs else 0.0
+
     # ---- stage A: global gate-order search (the overwhelmingly likely
-    # single unknown — one library convention for every cell)
+    # single unknown — one library convention for every cell).
+    # IMPORTANT: a near-linear regime (small pre-activations — tiny
+    # test models, but also real checkpoints early in training) can
+    # push a WRONG gate assignment under `tol` (an i/o swap perturbs
+    # sigmoid(x)≈0.5+x/4 only at second order). The true convention is
+    # exact — float-roundoff error, orders of magnitude below any
+    # confusable — so among clearing candidates we keep the SMALLEST
+    # activation error, never the first to clear.
     best = None
+    clean = None
     for p in itertools.permutations(range(4)):
         cp = {c: p for c in cells}
         params, rep, div = evaluate(cp, frozenset(), (0, 1, 2))
         if verbose:
             print(f"gate_perm {p}: first_divergence="
-                  f"{div or 'CLEAN'}")
+                  f"{div or f'CLEAN (worst {worst_err(rep):.3g})'}")
         if not div:
-            pin = {"gate_perm": list(p), "cell_perms": {},
-                   "transposed": [], "head_perm": [0, 1, 2]}
-            return params, pin, rep
-        k = div_key(rep, div)
+            if clean is None or worst_err(rep) < worst_err(clean[2]):
+                clean = (p, params, rep)
+            continue
+        k = (div_key(rep, div), -prefix_err(rep, div))
         if best is None or k > best[0]:
             best = (k, p, cp, frozenset(), (0, 1, 2), params, rep, div)
+    if clean is not None:
+        p, params, rep = clean
+        pin = {"gate_perm": list(p), "cell_perms": {},
+               "transposed": [], "head_perm": [0, 1, 2]}
+        return params, pin, rep
 
     # ---- stage B: oracle-guided per-stage refinement. Fix the first
     # divergent stage by jointly searching only ITS conventions: a
@@ -233,7 +260,13 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
         if n_combos == 0 or n_combos > 5000:
             break  # nothing searchable / unbounded -> report divergence
 
-        cur_key = div_key(rep, div)
+        def full_key(rep2, div2):
+            # clean candidates rank above any divergent one and among
+            # themselves by exactness (see stage-A comment)
+            dk = div_key(rep2, div2) or (10 ** 9, 10 ** 9)
+            return (dk, -prefix_err(rep2, div2))
+
+        cur_key = full_key(rep, div)
         improved = None
         for combo in itertools.product(*axes):
             cp2, tr2, hp2 = dict(cell_perms), set(transposed), head_perm
@@ -248,15 +281,13 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
                 else:
                     hp2 = val
             params2, rep2, div2 = evaluate(cp2, frozenset(tr2), hp2)
-            k2 = div_key(rep2, div2)
-            if k2 is None or (cur_key is not None and k2 > cur_key):
+            k2 = full_key(rep2, div2)
+            if k2 > cur_key:
                 improved = (cp2, frozenset(tr2), hp2, params2, rep2,
                             div2)
                 if verbose:
-                    print(f"refine {div}: {combo} -> "
-                          f"first_divergence={div2 or 'CLEAN'}")
-                if k2 is None:
-                    break
+                    print(f"refine {div}: {combo} -> first_divergence="
+                          f"{div2 or f'CLEAN ({worst_err(rep2):.3g})'}")
                 cur_key = k2
         if improved is None:
             break

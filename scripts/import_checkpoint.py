@@ -9,6 +9,13 @@ Import:
       --dataset corpus.h5 --model_name imported --save_dir saved_models \
       [--name_map map.json] [--report]
 
+Auto-pinned import (recommended when a reference-side activation trace
+is available): search the unverifiable conventions (fused-gate order,
+per-tensor orientation, GMM head block layout) until the activation
+diff against the trace clears, then save the pinned checkpoint:
+  python scripts/import_checkpoint.py --reference ref.zip \
+      --dataset corpus.h5 --auto_pin ref_trace.npz [--config cfg.json]
+
 Activation parity (any checkpoint, any trace):
   # record a trace from the current checkpoint (also the schema a
   # reference-side recorder must produce — see train/parity.py)
@@ -67,6 +74,12 @@ def main():
     p.add_argument("--lax", action="store_true",
                    help="allow partial coverage (unfilled params keep init)")
     p.add_argument("--report", action="store_true")
+    p.add_argument("--auto_pin", default=None, metavar="TRACE.npz",
+                   help="with --reference: search gate order / "
+                        "orientation / head layout per tensor until the "
+                        "activation diff against this trace clears "
+                        "(train/auto_pin.py), instead of trusting the "
+                        "name map's transforms")
     p.add_argument("--dump_trace", default=None, metavar="OUT.npz",
                    help="record a probe batch + per-layer activations")
     p.add_argument("--diff", default=None, metavar="TRACE.npz",
@@ -116,18 +129,32 @@ def main():
         name_map = None
         if a.name_map:
             name_map = [tuple(e) for e in json.load(open(a.name_map))]
-        params, report = import_theano_checkpoint(
-            a.reference, template, name_map, strict=not a.lax)
+        if a.auto_pin:
+            from parrot_tpu.train.auto_pin import auto_pin
+            params, pin, report = auto_pin(a.reference, model, template,
+                                           a.auto_pin, tol=a.tol,
+                                           rules=name_map)
+            print("pinned conventions: " + json.dumps(pin))
+            extra = {"auto_pin": pin}
+        else:
+            params, report = import_theano_checkpoint(
+                a.reference, template, name_map, strict=not a.lax)
+            extra = {}
         if a.report:
-            print(json.dumps(report, indent=2))
+            print(json.dumps(report, indent=2, default=str))
         norm = {"mean": np.asarray(corpus.mean),
                 "std": np.asarray(corpus.std)}
         mgr.save(0, {"params": params, "opt_state": adam_init(params),
                      "norm": norm},
-                 meta={"config": cfg.to_json(), "imported_from": a.reference},
+                 meta={"config": cfg.to_json(), "imported_from": a.reference,
+                       **extra},
                  is_best=True)
-        print(f"imported {len(report['matched'])} tensors -> "
-              f"{a.save_dir}/{a.model_name}")
+        if a.auto_pin:
+            print(f"imported (activation parity over {len(report)} layers) "
+                  f"-> {a.save_dir}/{a.model_name}")
+        else:
+            print(f"imported {len(report['matched'])} tensors -> "
+                  f"{a.save_dir}/{a.model_name}")
     else:
         got = mgr.restore({"params": template,
                            "norm": {"mean": np.zeros(corpus.frame_size),

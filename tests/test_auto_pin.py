@@ -199,3 +199,55 @@ def test_generalized_default_map_covers_any_depth():
                 covered.add(path)
                 break
     assert covered == set(flat)
+
+
+def test_cli_auto_pin_roundtrip(tmp_path):
+    """scripts/import_checkpoint.py --auto_pin: scrambled archive +
+    trace + corpus in, pinned parrot-tpu checkpoint out, conventions
+    recorded in meta.json.
+
+    The (3,1,0,2) scramble is also a regression case: at tiny dims the
+    LSTM runs near-linear and an i/o gate swap perturbs activations by
+    only ~3e-5 < tol, so a first-to-clear search pins the WRONG
+    convention — the exact-params assert below catches that (the
+    search must rank clearing candidates by exactness)."""
+    import json
+    import subprocess
+    import sys
+
+    from util_env import cpu_env
+    from parrot_tpu.config import ParrotConfig
+    from parrot_tpu.data.fixture import make_fixture_corpus
+    from parrot_tpu.train.checkpoint import load_for_inference
+
+    model, true_params, norm, batch = setup()
+    cfg = model.cfg
+    flat = flatten_tree(true_params)
+    archive = make_archive(tmp_path, flat, (3, 1, 0, 2), {"dec/0/wh"},
+                           head_perm=(1, 0, 2),
+                           head_dims=(cfg.num_mixtures, cfg.frame_size))
+    trace = str(tmp_path / "trace.npz")
+    dump_trace(trace, model, true_params, norm, batch)
+    corpus = make_fixture_corpus(str(tmp_path / "c.h5"), num_utterances=6,
+                                 vocab_size=cfg.vocab_size,
+                                 frame_size=cfg.frame_size,
+                                 num_speakers=cfg.num_speakers)
+    cfg_json = tmp_path / "cfg.json"
+    cfg_json.write_text(ParrotConfig(model=cfg).to_json())
+    r = subprocess.run(
+        [sys.executable, "scripts/import_checkpoint.py",
+         "--reference", archive, "--dataset", corpus,
+         "--auto_pin", trace, "--config", str(cfg_json),
+         "--model_name", "autopinned", "--save_dir", str(tmp_path / "sv")],
+        capture_output=True, text=True, env=cpu_env(), timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "pinned conventions" in r.stdout
+    m2, params, _, _, step = load_for_inference(str(tmp_path / "sv"),
+                                                "autopinned", "best")
+    got = flatten_tree(params)
+    for k in flat:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(flat[k]), atol=1e-6)
+    meta = json.load(open(tmp_path / "sv" / "autopinned" / "step_00000000"
+                          / "meta.json"))
+    assert meta["auto_pin"]["head_perm"] == [1, 0, 2]
