@@ -320,12 +320,38 @@ class Parrot:
             # hand-written VJP: reverse scan carries only the recurrent
             # cotangents; weight grads become post-hoc GEMMs
             # (models/scan_vjp.py; docs/PERFORMANCE.md round 3)
-            from parrot_tpu.models.scan_vjp import make_decoder_scan
-            fn = make_decoder_scan(
-                self.L, self.H, self.K, self.E, cfg.attention_alignment,
-                residual_dtype=(jnp.bfloat16
-                                if cfg.scan_residual_dtype == "bfloat16"
-                                else jnp.float32))
+            res_dtype = (jnp.bfloat16
+                         if cfg.scan_residual_dtype == "bfloat16"
+                         else jnp.float32)
+            B = x_in.shape[1]
+            U = text_mask.shape[1]
+            on_tpu = jax.default_backend() == "tpu"
+            # feasibility: the kernel holds the (B, U, E) encoder block
+            # plus ~26 MB of weights VMEM-resident — whether it fits
+            # depends on the data shapes (pallas_scan_fits estimates
+            # both passes; past B=256 or very long text it cannot)
+            from parrot_tpu.ops.fused_train_scan import (
+                make_pallas_decoder_scan, pallas_scan_fits)
+            aligned = (B % 8 == 0 and self.H % 128 == 0
+                       and self.E % 128 == 0
+                       and pallas_scan_fits(
+                           B, U, L=self.L, H=self.H, K=self.K, E=self.E,
+                           res_bytes=jnp.dtype(res_dtype).itemsize))
+            if cfg.pallas_scan and (aligned or not on_tpu):
+                # fused Pallas fwd/bwd scan kernels: weights + enc block
+                # VMEM-resident across all T steps
+                # (ops/fused_train_scan.py). Non-TPU backends run the
+                # interpreter (tests); production CPU configs should
+                # leave pallas_scan off.
+                fn = make_pallas_decoder_scan(
+                    self.L, self.H, self.K, self.E,
+                    cfg.attention_alignment, residual_dtype=res_dtype,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                from parrot_tpu.models.scan_vjp import make_decoder_scan
+                fn = make_decoder_scan(
+                    self.L, self.H, self.K, self.E,
+                    cfg.attention_alignment, residual_dtype=res_dtype)
             layers_t = []
             for l in range(self.L):
                 w_w, hb_w = scan_mats[l]

@@ -39,6 +39,59 @@ def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
+def shifted_inputs(feats, cs_s, kappa_s, init, L, H):
+    """Per-step PREVIOUS-state sequences for the reverse pass: shift the
+    saved post-mix sequences by one step, step 0 taking the init values.
+    Returns (h_prev list, c_prev list, w_prev, kappa_prev)."""
+    init_hs, init_kappa, init_w = init
+
+    def shift_prev(x_seq, x0):
+        return jnp.concatenate([x0[None], x_seq[:-1]], axis=0)
+
+    h_prev = [shift_prev(feats[..., l * H:(l + 1) * H], init_hs[l][0])
+              for l in range(L)]
+    c_prev = [shift_prev(cs_s[l], init_hs[l][1]) for l in range(L)]
+    w_prev = shift_prev(feats[..., L * H:], init_w)
+    kappa_prev = shift_prev(kappa_s, init_kappa)
+    return h_prev, c_prev, w_prev, kappa_prev
+
+
+def posthoc_grads(feats, h_prev, w_prev, dgates, draws, dw_ps, phis, enc,
+                  L, H):
+    """Weight gradients as single (T·B)-row GEMMs from the per-step
+    cotangent streams the reverse scan emitted (module docstring).
+    Returns (d_layers, dattn_w, dattn_b, denc)."""
+    F32 = jnp.float32
+    T, B = feats.shape[:2]
+    TB = T * B
+
+    def flat(x):
+        return x.reshape(TB, x.shape[-1]).astype(F32)
+
+    d_layers = []
+    for l in range(L):
+        dg = flat(dgates[l])                             # (TB, 4H)
+        if l == 0:
+            dWw = jnp.dot(flat(w_prev).T, dg,
+                          preferred_element_type=F32)
+            dWhb = None
+        else:
+            dWw = jnp.dot(flat(feats[..., L * H:]).T, dg,
+                          preferred_element_type=F32)
+            dWhb = jnp.dot(
+                flat(feats[..., (l - 1) * H:l * H]).T, dg,
+                preferred_element_type=F32)
+        dWh = jnp.dot(flat(h_prev[l]).T, dg,
+                      preferred_element_type=F32)
+        d_layers.append((dWw, dWhb, dWh))
+    dattn_w = jnp.dot(flat(feats[..., :H]).T, flat(draws),
+                      preferred_element_type=F32)
+    dattn_b = flat(draws).sum(axis=0)
+    denc = jnp.einsum("tbu,tbe->bue", phis, dw_ps,
+                      preferred_element_type=F32).astype(enc.dtype)
+    return d_layers, dattn_w, dattn_b, denc
+
+
 class _Dims(NamedTuple):
     L: int
     H: int
@@ -167,22 +220,17 @@ def make_decoder_scan(L: int, H: int, K: int, E: int, alignment: float,
         F32 = jnp.float32
 
         # per-step inputs to the REVERSE scan: current-step residuals
-        # plus the PREVIOUS step's h/c/kappa/w (shift by one; step 0
-        # uses the init values)
-        def shift_prev(x_seq, x0):
-            return jnp.concatenate([x0[None], x_seq[:-1]], axis=0)
-
-        h_prev = [shift_prev(feats[..., l * H:(l + 1) * H],
-                             init_hs[l][0]) for l in range(L)]
-        c_prev = [shift_prev(cs_s[l], init_hs[l][1]) for l in range(L)]
-        w_prev = shift_prev(feats[..., L * H:], init_w)
-        kappa_prev = shift_prev(kappa_s, init_kappa)
+        # plus the PREVIOUS step's c/kappa (shift by one; step 0 uses the
+        # init values). h_prev/w_prev are needed only by the post-hoc
+        # GEMMs below — NOT streamed through the reverse scan.
+        h_prev, c_prev, w_prev, kappa_prev = shifted_inputs(
+            feats, cs_s, kappa_s, init, L, H)
 
         d_final_hs, d_final_kappa, d_final_w = dcarry
 
         def bwd_step(carry, t_in):
             dh, dc, dkap, dw = carry
-            (dfeat_t, dphi_up, gates_t, c_prev_t, h_prev_t, w_prev_t,
+            (dfeat_t, dphi_up, gates_t, c_prev_t,
              kappa_prev_t, raw_t, m) = t_in
             # residuals may be stored bf16; compute the backward in f32
             gates_t = tuple(g.astype(jnp.float32) for g in gates_t)
@@ -285,37 +333,13 @@ def make_decoder_scan(L: int, H: int, K: int, E: int, alignment: float,
                       [d_final_hs[l][1] for l in range(L)],
                       d_final_kappa, d_final_w)
         xs = (dfeats, dphis, tuple(gates_s), tuple(c_prev),
-              tuple(h_prev), w_prev, kappa_prev, raw_s, mask)
+              kappa_prev, raw_s, mask)
         (dh0, dc0, dkap0, dw0), (dgates, draws, dw_ps) = jax.lax.scan(
             bwd_step, init_carry, xs, reverse=True)
 
         # ---- post-hoc weight gradients: one GEMM each over T·B rows
-        TB = T * B
-
-        def flat(x):
-            return x.reshape(TB, x.shape[-1])
-
-        d_layers = []
-        for l in range(L):
-            dg = flat(dgates[l])                         # (TB, 4H)
-            if l == 0:
-                dWw = jnp.dot(flat(w_prev).T, dg,
-                              preferred_element_type=F32)
-                dWhb = None
-            else:
-                dWw = jnp.dot(flat(feats[..., L * H:]).T, dg,
-                              preferred_element_type=F32)
-                dWhb = jnp.dot(
-                    flat(feats[..., (l - 1) * H:l * H]).T, dg,
-                    preferred_element_type=F32)
-            dWh = jnp.dot(flat(h_prev[l]).T, dg,
-                          preferred_element_type=F32)
-            d_layers.append((dWw, dWhb, dWh))
-        dattn_w = jnp.dot(flat(feats[..., :H]).T, flat(draws),
-                          preferred_element_type=F32)
-        dattn_b = flat(draws).sum(axis=0)
-        denc = jnp.einsum("tbu,tbe->bue", phis, dw_ps,
-                          preferred_element_type=F32).astype(enc.dtype)
+        d_layers, dattn_w, dattn_b, denc = posthoc_grads(
+            feats, h_prev, w_prev, dgates, draws, dw_ps, phis, enc, L, H)
         # text_mask multiplies phi, whose raw value we did not store;
         # it is data (never differentiated) — zero cotangent
         dtext_mask = jnp.zeros_like(text_mask)

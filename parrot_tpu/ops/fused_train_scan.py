@@ -1,0 +1,703 @@
+"""Pallas fused TRAINING scan for the Parrot decoder: fwd + bwd kernels.
+
+The split-backward scan (models/scan_vjp.py) made the reverse pass
+carry only the true recurrent cotangents, but both passes still run as
+`lax.scan` — per-timestep XLA loop iterations whose measured cost
+(~91 us fwd / ~220 us bwd per step at B=256 flagship dims) sits far
+above the compute/BW speed-of-light (~25-75 us), and whose attention
+context re-reads the whole (B, U, E) encoder block from HBM every step
+in both directions (docs/PERFORMANCE.md round-3 breakdown).
+
+This module runs each pass as ONE `pallas_call` instead:
+
+- grid = (T/C,) chunks of C steps, sequential on the core
+  (`dimension_semantics=("arbitrary",)`); the recurrent state (h/c per
+  layer, kappa, w — and their cotangents in the bwd kernel) lives in
+  VMEM scratch and never round-trips to HBM;
+- the decoder weight matrices (transposed copies for the bwd kernel)
+  and the encoder block stay VMEM-RESIDENT for the whole pass — the
+  per-step weight/enc re-reads that dominate the lax.scan version's
+  HBM traffic disappear;
+- per-step tensors stream through chunked HBM blocks: the fwd kernel
+  emits feats/phi plus the residuals the bwd kernel consumes (gates at
+  `residual_dtype`, post-mix cell states, raw attention params, kappa);
+  the bwd kernel emits the dgates/draw/dw' streams that the SAME
+  post-hoc (T·B)-row weight-gradient GEMMs as the lax.scan path
+  (scan_vjp.posthoc_grads) turn into weight gradients;
+- the C steps inside a chunk are Python-unrolled so every intra-chunk
+  index is static (Mosaic: dynamic lane slices must be 128-aligned;
+  static slices are free).
+
+Math contract: EXACTLY scan_vjp.make_decoder_scan's computation — same
+forward values up to f32 reduction order, same residual layout, same
+gradient structure. Parity is pinned by tests/test_pallas_train_scan.py
+(interpret mode) and scripts/tpu_checks.py (on chip).
+
+Enabled by ModelConfig.pallas_scan (requires split_backward semantics:
+no layer_norm / stacked_scan — guarded by the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parrot_tpu.models.scan_vjp import posthoc_grads, shifted_inputs
+
+_MASK_LANES = 128  # mask rides as (T, B, 128) so the kernel can take a
+                   # static (B, 1) lane slice (dynamic lane slices must
+                   # be 128-aligned on TPU)
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+# ----------------------------------------------------------------------
+# VMEM planning: the kernels keep the weights and the whole (B, U, E)
+# encoder block resident, so feasibility depends on the *data* shapes
+# (B and especially U — real corpora reach U=256 where the f32 enc
+# block alone is 64 MB). Per pass we pick the largest chunk C that
+# fits, dropping the enc block to bf16 when f32 cannot fit at C=1
+# (its multiplies already round to bf16 on the MXU; only the extra
+# rounding of the tiny phi/dw operand is new). Returns None when even
+# bf16 at C=1 overflows -> caller falls back to the lax.scan path.
+# ----------------------------------------------------------------------
+
+_VMEM_BUDGET_MB = 126  # vs the 127 MB compile limit; the estimate
+                       # matched Mosaic's accounting to 0.1 MB on the
+                       # shapes checked (e.g. 154.0 MB at B=256 U=256
+                       # C=2 f32-enc), so only a small margin is needed
+
+
+def _weights_bytes(L, H, K, E):
+    b = H * 3 * K * 4 + 3 * K * 4
+    for l in range(L):
+        b += E * 4 * H * 4 + H * 4 * H * 4
+        if l > 0:
+            b += H * 4 * H * 4
+    return b
+
+
+def estimate_vmem_bytes(B, U, *, L, H, K, E, C, res_bytes, enc_bytes):
+    """(fwd_bytes, bwd_bytes) VMEM footprint estimate for one chunk
+    configuration. Streamed blocks are double-buffered (x2)."""
+    SD = 2 * L * H + K + E
+    FD = L * H + E
+    w = _weights_bytes(L, H, K, E)
+    common = (B * U * E * enc_bytes + B * U * 4    # enc/encT + text_mask
+              + B * SD * 4                         # init / dcarry
+              + 2 * B * SD * 4                     # final out (buffered)
+              + (2 * L * H + K + E) * B * 4)       # scratch
+    per_step = 2 * C * B  # double-buffered chunk rows
+    fwd = (w + common
+           + per_step * (L * 4 * H * 4            # gx in
+                         + _MASK_LANES * 4        # mask in
+                         + FD * 4 + U * 4         # feats/phi out
+                         + L * 4 * H * res_bytes  # gates out
+                         + L * H * 4              # cs out
+                         + 3 * K * 4 + K * 4))    # raw/kappa out
+    bwd = (w + common
+           + per_step * (FD * 4 + U * 4           # dfeat/dphi in
+                         + L * 4 * H * res_bytes  # gates in
+                         + L * H * 4              # c_prev in
+                         + K * 4 + 3 * K * 4      # kappa_prev/raw in
+                         + _MASK_LANES * 4        # mask in
+                         + L * 4 * H * res_bytes  # dgates out
+                         + 3 * K * 4 + E * 4))    # draw/dwp out
+    return fwd, bwd
+
+
+def plan_pass(which, B, U, *, L, H, K, E, max_chunk, res_bytes,
+              budget_mb=_VMEM_BUDGET_MB):
+    """Pick (C, enc_dtype) for one pass; None if nothing fits."""
+    idx = 0 if which == "fwd" else 1
+    budget = budget_mb * 1024 * 1024
+    for enc_bytes, enc_dtype in ((4, jnp.float32), (2, jnp.bfloat16)):
+        C = max_chunk
+        while C >= 1:
+            est = estimate_vmem_bytes(B, U, L=L, H=H, K=K, E=E, C=C,
+                                      res_bytes=res_bytes,
+                                      enc_bytes=enc_bytes)[idx]
+            if est <= budget:
+                return C, enc_dtype
+            C //= 2
+    return None
+
+
+def pallas_scan_fits(B, U, *, L, H, K, E, res_bytes=2):
+    """Model-side guard: can both passes run at these shapes at all?"""
+    return all(plan_pass(w, B, U, L=L, H=H, K=K, E=E, max_chunk=1,
+                         res_bytes=res_bytes) is not None
+               for w in ("fwd", "bwd"))
+
+
+# In-kernel matmul precision. Measured on this chip: XLA's own f32
+# plain dots run as a SINGLE bf16 MXU pass (2.5e-3 max err vs fp64 on a
+# 512-deep 0.1-scale contraction) and Mosaic's default is the identical
+# scheme — with DEFAULT the kernel's h0/attention trajectory matches
+# the lax.scan path essentially bit-for-bit. (Precision.HIGHEST would
+# make the kernel MORE accurate than the XLA path it must mirror, and
+# thereby diverge from it.) The one place the two paths round
+# differently is the batched context/dphi contraction, which XLA
+# evaluates at full f32; its bf16-multiply rounding here (~1e-3 on
+# [0,1]-weight sums) sits inside the training-precision envelope the
+# bf16-residual default already accepts — on-chip parity is pinned by
+# scripts/tpu_checks.py at that tolerance, exact parity by the
+# interpret-mode tests.
+_PREC = jax.lax.Precision.DEFAULT
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC)
+
+
+def _bdot(phi_like, enc_like):
+    """Batched (B, X) x (B, U, E)-style contraction.
+
+    phi_like (B, U) with enc (B, U, E)  -> (B, E)   (context)
+    dw  (B, E) with encT (B, E, U)      -> (B, U)   (dphi)  — pass the
+    matching last-two-dims layout; contraction is lhs dim 2 x rhs dim 1
+    with batch dim 0 on both.
+    """
+    return jax.lax.dot_general(
+        phi_like[:, None, :], enc_like,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_PREC)[:, 0, :]
+
+
+# ======================================================================
+# forward kernel
+# ======================================================================
+
+def _make_fwd_kernel(*, B, E, H, K, U, C, L, alignment, res_dtype):
+    FD = L * H + E          # feats row
+    F32 = jnp.float32
+
+    def kernel(*refs):
+        i = 0
+        attn_w, attn_b = refs[i:i + 2]; i += 2
+        layers = []          # (w_w, hb_w|None, wh)
+        for l in range(L):
+            if l == 0:
+                w_w, wh = refs[i:i + 2]; i += 2
+                layers.append((w_w, None, wh))
+            else:
+                w_w, hb_w, wh = refs[i:i + 3]; i += 3
+                layers.append((w_w, hb_w, wh))
+        enc, text_mask = refs[i:i + 2]; i += 2
+        init = refs[i:i + 2 * L + 2]; i += 2 * L + 2
+        gx = refs[i:i + L]; i += L                   # (C, B, 4H) each
+        mask_ref = refs[i]; i += 1                   # (C, B, 128)
+        feats_out, phi_out = refs[i:i + 2]; i += 2
+        gates_out = refs[i:i + L]; i += L            # residual dtype
+        cs_out = refs[i:i + L]; i += L
+        raw_out, kappa_out, final_out = refs[i:i + 3]; i += 3
+        scratch = refs[i:i + 2 * L + 2]; i += 2 * L + 2
+        hs = [(scratch[2 * l], scratch[2 * l + 1]) for l in range(L)]
+        kappa_s, w_s = scratch[2 * L], scratch[2 * L + 1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for s_ref, i_ref in zip(scratch, init):
+                s_ref[:] = i_ref[:]
+
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, U), 1).astype(F32)
+
+        for s in range(C):
+            m = mask_ref[s][:, 0:1]                  # (B, 1)
+
+            # layer 0: hoisted gates + w_prev and h_prev projections
+            w_w0, _, wh0 = layers[0]
+            g0 = (gx[0][s] + _dot(w_s[:], w_w0[:])
+                  + _dot(hs[0][0][:], wh0[:]))
+            i0 = _sigmoid(g0[:, :H])
+            f0 = _sigmoid(g0[:, H:2 * H])
+            z0 = jnp.tanh(g0[:, 2 * H:3 * H])
+            o0 = _sigmoid(g0[:, 3 * H:])
+            c0p = f0 * hs[0][1][:] + i0 * z0
+            h0p = o0 * jnp.tanh(c0p)
+            h0 = m * h0p + (1 - m) * hs[0][0][:]
+            c0 = m * c0p + (1 - m) * hs[0][1][:]
+            hs[0][0][:] = h0
+            hs[0][1][:] = c0
+
+            # attention (Graves window, monotonic kappa)
+            raw = _dot(h0, attn_w[:]) + attn_b[:]    # (B, 3K)
+            alpha = jnp.exp(raw[:, :K])
+            beta = jnp.exp(raw[:, K:2 * K])
+            kap_p = kappa_s[:] + alignment * jnp.exp(raw[:, 2 * K:])
+            phi = jnp.zeros((B, U), F32)
+            for k in range(K):
+                diff = kap_p[:, k:k + 1] - u_iota
+                phi += alpha[:, k:k + 1] * jnp.exp(
+                    -beta[:, k:k + 1] * diff * diff)
+            phi = phi * text_mask[:]
+            # enc may ride VMEM at bf16 (plan_pass); cast the tiny phi
+            # operand to match — accumulation stays f32 on the MXU
+            w_p = _bdot(phi.astype(enc.dtype), enc[:])   # (B, E)
+            kappa_n = m * kap_p + (1 - m) * kappa_s[:]
+            w_n = m * w_p + (1 - m) * w_s[:]
+            kappa_s[:] = kappa_n
+            w_s[:] = w_n
+
+            h_cols = [h0]
+            gate_vals = [g0]
+            c_cols = [c0]
+            h_below = h0
+            for l in range(1, L):
+                w_wl, hb_wl, whl = layers[l]
+                gl = (gx[l][s] + _dot(w_n, w_wl[:])
+                      + _dot(h_below, hb_wl[:])
+                      + _dot(hs[l][0][:], whl[:]))
+                il = _sigmoid(gl[:, :H])
+                fl = _sigmoid(gl[:, H:2 * H])
+                zl = jnp.tanh(gl[:, 2 * H:3 * H])
+                ol = _sigmoid(gl[:, 3 * H:])
+                clp = fl * hs[l][1][:] + il * zl
+                hlp = ol * jnp.tanh(clp)
+                hl = m * hlp + (1 - m) * hs[l][0][:]
+                cl = m * clp + (1 - m) * hs[l][1][:]
+                hs[l][0][:] = hl
+                hs[l][1][:] = cl
+                h_cols.append(hl)
+                gate_vals.append(gl)
+                c_cols.append(cl)
+                h_below = hl
+
+            feats_out[s] = jnp.concatenate(h_cols + [w_n], axis=-1)
+            phi_out[s] = phi
+            for l in range(L):
+                gates_out[l][s] = gate_vals[l].astype(res_dtype)
+                cs_out[l][s] = c_cols[l]
+            raw_out[s] = raw
+            kappa_out[s] = kappa_n
+
+        # carried state after the last step of this chunk (constant
+        # index map: last write wins -> final scan carry)
+        final_out[:] = jnp.concatenate([s_ref[:] for s_ref in scratch],
+                                       axis=-1)
+
+    return kernel
+
+
+# ======================================================================
+# backward kernel
+# ======================================================================
+
+def _make_bwd_kernel(*, B, E, H, K, U, C, L, alignment, res_dtype,
+                     grad_dtype):
+    F32 = jnp.float32
+
+    def kernel(*refs):
+        i = 0
+        attn_wT = refs[i]; i += 1                    # (3K, H)
+        layersT = []                                 # (w_wT, hb_wT|None, whT)
+        for l in range(L):
+            if l == 0:
+                w_wT, whT = refs[i:i + 2]; i += 2
+                layersT.append((w_wT, None, whT))
+            else:
+                w_wT, hb_wT, whT = refs[i:i + 3]; i += 3
+                layersT.append((w_wT, hb_wT, whT))
+        encT, text_mask = refs[i:i + 2]; i += 2      # (B, E, U), (B, U)
+        dcarry = refs[i:i + 2 * L + 2]; i += 2 * L + 2
+        dfeat_ref, dphi_ref = refs[i:i + 2]; i += 2
+        gates_refs = refs[i:i + L]; i += L
+        c_prev_refs = refs[i:i + L]; i += L
+        kappa_prev_ref, raw_ref, mask_ref = refs[i:i + 3]; i += 3
+        dgates_out = refs[i:i + L]; i += L
+        draw_out, dwp_out, dfinal_out = refs[i:i + 3]; i += 3
+        scratch = refs[i:i + 2 * L + 2]; i += 2 * L + 2
+        dhs = [(scratch[2 * l], scratch[2 * l + 1]) for l in range(L)]
+        dkap_s, dw_s = scratch[2 * L], scratch[2 * L + 1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for s_ref, i_ref in zip(scratch, dcarry):
+                s_ref[:] = i_ref[:]
+
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, U), 1).astype(F32)
+
+        for s in reversed(range(C)):
+            m = mask_ref[s][:, 0:1]                  # (B, 1)
+            dfeat_t = dfeat_ref[s]                   # (B, LH+E)
+            raw_t = raw_ref[s]
+            kappa_prev_t = kappa_prev_ref[s]
+
+            # upstream cotangents into this step's outputs
+            dh = [dhs[l][0][:] + dfeat_t[:, l * H:(l + 1) * H]
+                  for l in range(L)]
+            dc = [dhs[l][1][:] for l in range(L)]
+            dw_tot = dw_s[:] + dfeat_t[:, L * H:]
+            dkap_tot = dkap_s[:]
+
+            # layers L-1 .. 1 (consume w_n and h_below of step t)
+            for l in range(L - 1, 0, -1):
+                g = gates_refs[l][s].astype(F32)
+                il = _sigmoid(g[:, :H])
+                fl = _sigmoid(g[:, H:2 * H])
+                zl = jnp.tanh(g[:, 2 * H:3 * H])
+                ol = _sigmoid(g[:, 3 * H:])
+                cpv = c_prev_refs[l][s]
+                clp = fl * cpv + il * zl
+                tc = jnp.tanh(clp)
+                dhp = m * dh[l]
+                dclp = m * dc[l] + dhp * ol * (1 - tc * tc)
+                dgl = jnp.concatenate([
+                    dclp * zl * il * (1 - il),
+                    dclp * cpv * fl * (1 - fl),
+                    dclp * il * (1 - zl * zl),
+                    dhp * tc * ol * (1 - ol)], axis=-1)
+                w_wT, hb_wT, whT = layersT[l]
+                dw_tot = dw_tot + _dot(dgl, w_wT[:])
+                dh[l - 1] = dh[l - 1] + _dot(dgl, hb_wT[:])
+                dhs[l][0][:] = (1 - m) * dh[l] + _dot(dgl, whT[:])
+                dhs[l][1][:] = (1 - m) * dc[l] + dclp * fl
+                dgates_out[l][s] = dgl.astype(grad_dtype)
+
+            # attention backward
+            dw_p = m * dw_tot
+            dkap_p = m * dkap_tot
+            dphi = (_bdot(dw_p.astype(encT.dtype), encT[:])
+                    + dphi_ref[s]) * text_mask[:]    # (B, U)
+            kexp = jnp.exp(raw_t[:, 2 * K:])
+            kap_p = kappa_prev_t + alignment * kexp
+            dalpha_cols, dbeta_cols, dkap_cols = [], [], []
+            for k in range(K):
+                alpha_k = jnp.exp(raw_t[:, k:k + 1])
+                beta_k = jnp.exp(raw_t[:, K + k:K + k + 1])
+                diff = kap_p[:, k:k + 1] - u_iota    # (B, U)
+                s_k = jnp.exp(-beta_k * diff * diff)
+                as_k = alpha_k * s_k
+                dphi_s = dphi * s_k
+                dalpha_cols.append(
+                    jnp.sum(dphi_s, axis=-1, keepdims=True) * alpha_k)
+                dbeta_cols.append(
+                    -jnp.sum(dphi * as_k * diff * diff, axis=-1,
+                             keepdims=True) * beta_k)
+                dkap_cols.append(
+                    -2.0 * jnp.sum(dphi * as_k * diff, axis=-1,
+                                   keepdims=True) * beta_k)
+            dkap_p = dkap_p + jnp.concatenate(dkap_cols, axis=-1)
+            draw = jnp.concatenate(
+                dalpha_cols + dbeta_cols
+                + [dkap_p * alignment * kexp], axis=-1)          # (B, 3K)
+            dh[0] = dh[0] + _dot(draw, attn_wT[:])
+            dkap_s[:] = (1 - m) * dkap_tot + dkap_p
+
+            # layer 0
+            g = gates_refs[0][s].astype(F32)
+            i0 = _sigmoid(g[:, :H])
+            f0 = _sigmoid(g[:, H:2 * H])
+            z0 = jnp.tanh(g[:, 2 * H:3 * H])
+            o0 = _sigmoid(g[:, 3 * H:])
+            cpv0 = c_prev_refs[0][s]
+            c0p = f0 * cpv0 + i0 * z0
+            tc0 = jnp.tanh(c0p)
+            dhp0 = m * dh[0]
+            dc0p = m * dc[0] + dhp0 * o0 * (1 - tc0 * tc0)
+            dg0 = jnp.concatenate([
+                dc0p * z0 * i0 * (1 - i0),
+                dc0p * cpv0 * f0 * (1 - f0),
+                dc0p * i0 * (1 - z0 * z0),
+                dhp0 * tc0 * o0 * (1 - o0)], axis=-1)
+            w_wT0, _, whT0 = layersT[0]
+            dw_s[:] = (1 - m) * dw_tot + _dot(dg0, w_wT0[:])
+            dhs[0][0][:] = (1 - m) * dh[0] + _dot(dg0, whT0[:])
+            dhs[0][1][:] = (1 - m) * dc[0] + dc0p * f0
+            dgates_out[0][s] = dg0.astype(grad_dtype)
+            draw_out[s] = draw
+            dwp_out[s] = dw_p
+
+        dfinal_out[:] = jnp.concatenate([s_ref[:] for s_ref in scratch],
+                                        axis=-1)
+
+    return kernel
+
+
+# ======================================================================
+# host-side wrappers
+# ======================================================================
+
+def _pad_t(x, Tp):
+    T = x.shape[0]
+    if T == Tp:
+        return x
+    pad = [(0, Tp - T)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def _vm():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _chunked(C, *dims):
+    return pl.BlockSpec((C,) + dims, lambda t: (t,) + (0,) * len(dims),
+                        memory_space=pltpu.VMEM)
+
+
+def _chunked_rev(C, nc, *dims):
+    return pl.BlockSpec((C,) + dims,
+                        lambda t: (nc - 1 - t,) + (0,) * len(dims),
+                        memory_space=pltpu.VMEM)
+
+
+def _const(*dims):
+    return pl.BlockSpec(dims, lambda t: (0,) * len(dims),
+                        memory_space=pltpu.VMEM)
+
+
+def _split_state(flat, L, H, K, E):
+    """(B, 2LH+K+E) -> (hs tuple, kappa, w)."""
+    sizes = [H, H] * L + [K, E]
+    parts, o = [], 0
+    for sz in sizes:
+        parts.append(flat[:, o:o + sz])
+        o += sz
+    hs = tuple((parts[2 * l], parts[2 * l + 1]) for l in range(L))
+    return hs, parts[2 * L], parts[2 * L + 1]
+
+
+def make_pallas_decoder_scan(L: int, H: int, K: int, E: int,
+                             alignment: float,
+                             residual_dtype=jnp.float32,
+                             chunk: int = 2,
+                             interpret: bool = False,
+                             vmem_limit_mb: int = 127,
+                             enc_dtype=None):
+    """Drop-in replacement for scan_vjp.make_decoder_scan backed by the
+    fused Pallas kernels. Same signature and residual/gradient layout;
+    dgates stream at residual_dtype (the bf16 knob's rounding contract
+    extends to the gradient stream)."""
+    alignment = float(alignment)
+    res_dtype = jnp.dtype(residual_dtype)
+    grad_dtype = res_dtype
+    max_chunk = int(chunk)
+    SD = 2 * L * H + K + E
+    FD = L * H + E
+
+    def _plan(which, B, U):
+        """Per-pass (C, enc_dtype) at trace time — data shapes, not the
+        factory, decide what fits (plan_pass docstring). Interpret mode
+        keeps the requested chunk and f32 enc (tests pin exactness)."""
+        if interpret:
+            return max_chunk, (enc_dtype or jnp.float32)
+        plan = plan_pass(which, B, U, L=L, H=H, K=K, E=E,
+                         max_chunk=max_chunk,
+                         res_bytes=res_dtype.itemsize)
+        if plan is not None and enc_dtype is not None:
+            plan = (plan[0], enc_dtype)
+        if plan is None:
+            raise ValueError(
+                f"pallas train scan does not fit VMEM at B={B} U={U} "
+                f"(H={H} E={E} L={L}) — caller should use the lax.scan "
+                f"path (pallas_scan_fits)")
+        return plan
+
+    def _run_fwd(params_t, gates_x, mask, enc, text_mask, init):
+        attn_w, attn_b, layers = params_t
+        T, B = mask.shape
+        U = enc.shape[1]
+        C, enc_dtype = _plan("fwd", B, U)
+        nc = -(-T // C)
+        Tp = nc * C
+        gx = [_pad_t(g.astype(jnp.float32), Tp) for g in gates_x]
+        mask_exp = jnp.broadcast_to(
+            _pad_t(mask.astype(jnp.float32), Tp)[:, :, None],
+            (Tp, B, _MASK_LANES))
+        init_hs, init_kappa, init_w = init
+
+        weights = [attn_w.astype(jnp.float32),
+                   attn_b.astype(jnp.float32)[None]]
+        for l in range(L):
+            w_w, hb_w, wh = layers[l]
+            weights.append(w_w.astype(jnp.float32))
+            if l > 0:
+                weights.append(hb_w.astype(jnp.float32))
+            weights.append(wh.astype(jnp.float32))
+        init_flat = []
+        for h, c in init_hs:
+            init_flat += [h.astype(jnp.float32), c.astype(jnp.float32)]
+        init_flat += [init_kappa.astype(jnp.float32),
+                      init_w.astype(jnp.float32)]
+
+        kernel = _make_fwd_kernel(B=B, E=E, H=H, K=K, U=U, C=C, L=L,
+                                  alignment=alignment,
+                                  res_dtype=res_dtype)
+        in_specs = ([_vm()] * len(weights) + [_vm(), _vm()]
+                    + [_vm()] * len(init_flat)
+                    + [_chunked(C, B, 4 * H)] * L
+                    + [_chunked(C, B, _MASK_LANES)])
+        out_specs = ([_chunked(C, B, FD), _chunked(C, B, U)]
+                     + [_chunked(C, B, 4 * H)] * L
+                     + [_chunked(C, B, H)] * L
+                     + [_chunked(C, B, 3 * K), _chunked(C, B, K),
+                        _const(B, SD)])
+        out_shape = ([jax.ShapeDtypeStruct((Tp, B, FD), jnp.float32),
+                      jax.ShapeDtypeStruct((Tp, B, U), jnp.float32)]
+                     + [jax.ShapeDtypeStruct((Tp, B, 4 * H), res_dtype)
+                        for _ in range(L)]
+                     + [jax.ShapeDtypeStruct((Tp, B, H), jnp.float32)
+                        for _ in range(L)]
+                     + [jax.ShapeDtypeStruct((Tp, B, 3 * K), jnp.float32),
+                        jax.ShapeDtypeStruct((Tp, B, K), jnp.float32),
+                        jax.ShapeDtypeStruct((B, SD), jnp.float32)])
+        scratch = ([pltpu.VMEM((B, H), jnp.float32)
+                    for _ in range(2 * L)]
+                   + [pltpu.VMEM((B, K), jnp.float32),
+                      pltpu.VMEM((B, E), jnp.float32)])
+        call = pl.pallas_call(
+            kernel,
+            grid=(nc,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )
+        outs = call(*weights, enc.astype(enc_dtype),
+                    text_mask.astype(jnp.float32),
+                    *init_flat, *gx, mask_exp)
+        feats = outs[0][:T]
+        phis = outs[1][:T]
+        gates_s = tuple(outs[2 + l][:T] for l in range(L))
+        cs_s = tuple(outs[2 + L + l][:T] for l in range(L))
+        raw_s = outs[2 + 2 * L][:T]
+        kappa_s = outs[3 + 2 * L][:T]
+        carry = _split_state(outs[4 + 2 * L], L, H, K, E)
+        return feats, phis, carry, gates_s, cs_s, raw_s, kappa_s
+
+    def _run_bwd(params_t, gates_s, cs_s, raw_s, kappa_s, mask, enc,
+                 text_mask, init, dfeats, dphis, dcarry):
+        attn_w, attn_b, layers = params_t
+        T, B = mask.shape
+        U = enc.shape[1]
+        C, enc_dtype = _plan("bwd", B, U)
+        nc = -(-T // C)
+        Tp = nc * C
+        init_hs, init_kappa, init_w = init
+
+        # previous-step sequences the reverse kernel streams (c/kappa;
+        # h_prev/w_prev feed only the post-hoc GEMMs, not the kernel)
+        shift = lambda seq, x0: jnp.concatenate(
+            [x0[None].astype(seq.dtype), seq[:-1]], axis=0)
+        c_prev = [shift(cs_s[l], init_hs[l][1]) for l in range(L)]
+        kappa_prev = shift(kappa_s, init_kappa)
+
+        weightsT = [attn_w.astype(jnp.float32).T]
+        for l in range(L):
+            w_w, hb_w, wh = layers[l]
+            weightsT.append(w_w.astype(jnp.float32).T)
+            if l > 0:
+                weightsT.append(hb_w.astype(jnp.float32).T)
+            weightsT.append(wh.astype(jnp.float32).T)
+        encT = jnp.swapaxes(enc.astype(enc_dtype), 1, 2)  # (B, E, U)
+
+        d_final_hs, d_final_kappa, d_final_w = dcarry
+        dcarry_flat = []
+        for l in range(L):
+            dcarry_flat += [d_final_hs[l][0].astype(jnp.float32),
+                            d_final_hs[l][1].astype(jnp.float32)]
+        dcarry_flat += [d_final_kappa.astype(jnp.float32),
+                        d_final_w.astype(jnp.float32)]
+
+        mask_exp = jnp.broadcast_to(
+            _pad_t(mask.astype(jnp.float32), Tp)[:, :, None],
+            (Tp, B, _MASK_LANES))
+        dfeats_p = _pad_t(dfeats.astype(jnp.float32), Tp)
+        dphis_p = _pad_t(dphis.astype(jnp.float32), Tp)
+        gates_p = [_pad_t(g, Tp) for g in gates_s]
+        c_prev_p = [_pad_t(c, Tp) for c in c_prev]
+        kappa_prev_p = _pad_t(kappa_prev, Tp)
+        raw_p = _pad_t(raw_s, Tp)
+
+        kernel = _make_bwd_kernel(B=B, E=E, H=H, K=K, U=U, C=C, L=L,
+                                  alignment=alignment,
+                                  res_dtype=res_dtype,
+                                  grad_dtype=grad_dtype)
+        rc = functools.partial(_chunked_rev, C, nc)
+        in_specs = ([_vm()] * len(weightsT) + [_vm(), _vm()]
+                    + [_vm()] * len(dcarry_flat)
+                    + [rc(B, FD), rc(B, U)]
+                    + [rc(B, 4 * H)] * L
+                    + [rc(B, H)] * L
+                    + [rc(B, K), rc(B, 3 * K), rc(B, _MASK_LANES)])
+        out_specs = ([rc(B, 4 * H)] * L
+                     + [rc(B, 3 * K), rc(B, E), _const(B, SD)])
+        out_shape = ([jax.ShapeDtypeStruct((Tp, B, 4 * H), grad_dtype)
+                      for _ in range(L)]
+                     + [jax.ShapeDtypeStruct((Tp, B, 3 * K), jnp.float32),
+                        jax.ShapeDtypeStruct((Tp, B, E), jnp.float32),
+                        jax.ShapeDtypeStruct((B, SD), jnp.float32)])
+        scratch = ([pltpu.VMEM((B, H), jnp.float32)
+                    for _ in range(2 * L)]
+                   + [pltpu.VMEM((B, K), jnp.float32),
+                      pltpu.VMEM((B, E), jnp.float32)])
+        call = pl.pallas_call(
+            kernel,
+            grid=(nc,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )
+        outs = call(*weightsT, encT, text_mask.astype(jnp.float32),
+                    *dcarry_flat, dfeats_p, dphis_p, *gates_p,
+                    *c_prev_p, kappa_prev_p, raw_p, mask_exp)
+        dgates = tuple(outs[l][:T] for l in range(L))
+        draws = outs[L][:T]
+        dw_ps = outs[L + 1][:T]
+        dinit = _split_state(outs[L + 2], L, H, K, E)
+        return dgates, draws, dw_ps, dinit
+
+    # ------------------------------------------------------------------
+    @jax.custom_vjp
+    def scan_pallas(params_t, gates_x, mask, enc, text_mask, init):
+        feats, phis, carry, *_ = _run_fwd(params_t, gates_x, mask, enc,
+                                          text_mask, init)
+        return feats, phis, carry
+
+    def scan_fwd(params_t, gates_x, mask, enc, text_mask, init):
+        (feats, phis, carry, gates_s, cs_s, raw_s,
+         kappa_s) = _run_fwd(params_t, gates_x, mask, enc, text_mask,
+                             init)
+        res = (params_t, gates_s, cs_s, raw_s, kappa_s, feats, phis,
+               mask, enc, text_mask, init)
+        return (feats, phis, carry), res
+
+    def scan_bwd(res, cts):
+        (params_t, gates_s, cs_s, raw_s, kappa_s, feats, phis, mask,
+         enc, text_mask, init) = res
+        dfeats, dphis, dcarry = cts
+        dgates, draws, dw_ps, dinit = _run_bwd(
+            params_t, gates_s, cs_s, raw_s, kappa_s, mask, enc,
+            text_mask, init, dfeats, dphis, dcarry)
+
+        # identical post-hoc GEMMs to the lax.scan split path
+        h_prev, _c, w_prev, _k = shifted_inputs(feats, cs_s, kappa_s,
+                                                init, L, H)
+        d_layers, dattn_w, dattn_b, denc = posthoc_grads(
+            feats, h_prev, w_prev, dgates, draws, dw_ps, phis, enc,
+            L, H)
+        dgates_x = tuple(dgates[l].astype(jnp.float32)
+                         for l in range(L))
+        dparams_t = (dattn_w, dattn_b, tuple(d_layers))
+        return (dparams_t, dgates_x, jnp.zeros_like(mask), denc,
+                jnp.zeros_like(text_mask), dinit)
+
+    scan_pallas.defvjp(scan_fwd, scan_bwd)
+    return scan_pallas

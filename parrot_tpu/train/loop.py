@@ -46,6 +46,19 @@ class Trainer:
             raise ValueError(
                 f"batch_size {cfg.data.batch_size} not divisible by "
                 f"{ndev} devices")
+        if cfg.model.pallas_scan and ndev > 1:
+            # the fused train-scan kernel is a single-device program;
+            # under the GSPMD step a multi-device mesh would replicate
+            # its operands (full global batch per chip) instead of
+            # partitioning them. Drop to the lax.scan split path — a
+            # shard_map-wrapped training step is the path to lifting
+            # this (the serving kernels already run under shard_map).
+            import dataclasses as _dc
+            cfg = self.cfg = cfg.replace(
+                model=_dc.replace(cfg.model, pallas_scan=False))
+            if not quiet:
+                print(f"[trainer] pallas_scan disabled: mesh has {ndev} "
+                      f"devices (single-device kernel)")
         n_train = len(corpus.split("train"))
         if n_train < cfg.data.batch_size:
             raise ValueError(

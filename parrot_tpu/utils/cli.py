@@ -54,6 +54,11 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"],
                    help="bfloat16: stream the encoder block at bf16 "
                         "through the decoder scan")
+    p.add_argument("--pallas_scan", action="store_true", default=None,
+                   help="run the decoder training scan as fused Pallas "
+                        "fwd/bwd kernels (single-device TPU; auto-falls "
+                        "back when the shapes do not fit VMEM — "
+                        "docs/PERFORMANCE.md)")
 
 
 def train_parse(argv=None) -> ParrotConfig:
@@ -164,7 +169,7 @@ def _build_config(args, train_keys) -> ParrotConfig:
         "attention_alignment", "num_mixtures", "use_speaker",
         "num_speakers", "speaker_dim", "layer_norm",
         "feedback_noise_level", "compute_dtype", "remat_scan",
-        "scan_weight_dtype", "scan_enc_dtype"])
+        "scan_weight_dtype", "scan_enc_dtype", "pallas_scan"])
     data = overrides(cfg.data, ["dataset", "data_dir", "batch_size",
                                 "seq_size", "max_text_len", "norm_stats"])
     train = overrides(cfg.train, train_keys)

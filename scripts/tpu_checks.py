@@ -248,6 +248,59 @@ def main():
               f"(got {[round(float(freq[h]), 3) for h in hot]} want "
               f"{[round(float(want[h]), 3) for h in hot]})")
 
+    # ---- fused Pallas TRAINING scan: on-chip loss/grad parity vs the
+    # lax.scan split path at flagship layer dims (ops/fused_train_scan;
+    # real-batch flagship validation recorded in docs/PERFORMANCE.md)
+    import dataclasses as _dc
+    from parrot_tpu.data.pipeline import Batch
+    from parrot_tpu.train.optim import adam_init  # noqa: F401 (warm import)
+    tb = 32
+    tcfg = ModelConfig(use_speaker=True, num_speakers=4)
+    rng = np.random.default_rng(3)
+    tbatch = Batch(
+        features=jnp.asarray(rng.normal(size=(tb, 30, tcfg.frame_size)),
+                             jnp.float32),
+        features_mask=jnp.ones((tb, 30)),
+        prev_frame=jnp.zeros((tb, tcfg.frame_size)),
+        text=jnp.asarray(rng.integers(1, tcfg.vocab_size, (tb, 128)),
+                         jnp.int32),
+        text_mask=jnp.ones((tb, 128)),
+        speaker=jnp.zeros((tb,), jnp.int32),
+        start_flag=jnp.float32(1.0))
+    tnorm = {"mean": jnp.zeros((tcfg.frame_size,)),
+             "std": jnp.ones((tcfg.frame_size,))}
+    touts = {}
+    for tflag in (False, True):
+        tm = Parrot(_dc.replace(tcfg, pallas_scan=tflag))
+        tp = tm.init_params(jax.random.PRNGKey(0))
+        tst = tm.init_state(tb, 128)
+
+        def tcost(pp, tm=tm, tst=tst):
+            loss, _, _ = tm.compute_cost(pp, tnorm, tbatch, tst)
+            return loss
+
+        touts[tflag] = jax.jit(jax.value_and_grad(tcost))(tp)
+    tl0, tg0 = touts[False]
+    tl1, tg1 = touts[True]
+    lerr = abs(float(tl0) - float(tl1)) / max(abs(float(tl0)), 1e-9)
+    check("pallas train scan: loss parity", lerr < 1e-5,
+          f"(rel err {lerr:.2e})")
+    worst_cos, worst_ratio = 1.0, 1.0
+    for a, b in zip(jax.tree.leaves(tg0), jax.tree.leaves(tg1)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-12:
+            continue
+        worst_cos = min(worst_cos, float(a @ b / (na * nb)))
+        r = nb / na
+        if abs(r - 1) > abs(worst_ratio - 1):
+            worst_ratio = r
+    check("pallas train scan: gradient parity",
+          worst_cos > 0.9999 and abs(worst_ratio - 1) < 0.01,
+          f"(worst cos {worst_cos:.6f}, worst norm ratio "
+          f"{worst_ratio:.4f})")
+
     print(f"\n{len(failures)} failures" if failures else "\nALL CHECKS PASS")
     sys.exit(1 if failures else 0)
 

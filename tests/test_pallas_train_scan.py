@@ -1,0 +1,174 @@
+"""Parity tests for the fused Pallas training scan
+(parrot_tpu/ops/fused_train_scan.py) against the lax.scan split path
+(models/scan_vjp.py) — interpret mode on CPU; the on-chip leg lives in
+scripts/tpu_checks.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tpu.models.scan_vjp import make_decoder_scan
+from parrot_tpu.ops.fused_train_scan import make_pallas_decoder_scan
+
+
+def _problem(L, T, seed=0, H=8, K=3, E=6, U=7, B=4):
+    rng = np.random.RandomState(seed)
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    layers = tuple((f(E, 4 * H), f(H, 4 * H) if l else None, f(H, 4 * H))
+                   for l in range(L))
+    params_t = (f(H, 3 * K), f(3 * K), layers)
+    gates_x = tuple(f(T, B, 4 * H) for _ in range(L))
+    mask = jnp.asarray((rng.rand(T, B) > 0.2).astype(np.float32))
+    enc = f(B, U, E)
+    text_mask = jnp.asarray((rng.rand(B, U) > 0.1).astype(np.float32))
+    init = (tuple((f(B, H), f(B, H)) for _ in range(L)), f(B, K),
+            f(B, E))
+    dims = dict(L=L, H=H, K=K, E=E)
+    return params_t, gates_x, mask, enc, text_mask, init, dims
+
+
+def _loss(fn, mask, text_mask):
+    def go(params_t, gates_x, enc, init):
+        feats, phis, carry = fn(params_t, gates_x, mask, enc, text_mask,
+                                init)
+        w = jnp.cos(jnp.arange(feats.size, dtype=jnp.float32)
+                    .reshape(feats.shape) * 0.01)
+        return (jnp.sum(feats * w) + jnp.sum(phis * 0.3)
+                + sum(jnp.sum(x * 0.1) for x in jax.tree.leaves(carry)))
+    return go
+
+
+@pytest.mark.parametrize("L,T,chunk", [(3, 6, 2), (3, 5, 2), (1, 7, 4),
+                                       (2, 6, 3)])
+def test_pallas_scan_matches_split(L, T, chunk):
+    """Forward values, final carry, and every input gradient match the
+    lax.scan split path (f32 residuals) — including T not divisible by
+    the chunk (masked zero-padding) and L=1."""
+    params_t, gates_x, mask, enc, text_mask, init, d = _problem(L, T)
+    ref = make_decoder_scan(d["L"], d["H"], d["K"], d["E"], 0.5)
+    pal = make_pallas_decoder_scan(d["L"], d["H"], d["K"], d["E"], 0.5,
+                                   chunk=chunk, interpret=True)
+    r = ref(params_t, gates_x, mask, enc, text_mask, init)
+    p = pal(params_t, gates_x, mask, enc, text_mask, init)
+    for a, b in zip(jax.tree.leaves(r), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6)
+    gr = jax.grad(_loss(ref, mask, text_mask), argnums=(0, 1, 2, 3))(
+        params_t, gates_x, enc, init)
+    gp = jax.grad(_loss(pal, mask, text_mask), argnums=(0, 1, 2, 3))(
+        params_t, gates_x, enc, init)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+def test_pallas_scan_bf16_residuals_close():
+    """bf16 residual/gradient streams stay within the documented ~1e-2
+    relative envelope of the f32-residual gradients."""
+    params_t, gates_x, mask, enc, text_mask, init, d = _problem(2, 6,
+                                                                seed=3)
+    ref = make_decoder_scan(d["L"], d["H"], d["K"], d["E"], 0.5)
+    pal = make_pallas_decoder_scan(d["L"], d["H"], d["K"], d["E"], 0.5,
+                                   residual_dtype=jnp.bfloat16,
+                                   chunk=2, interpret=True)
+    gr = jax.grad(_loss(ref, mask, text_mask), argnums=(0, 2))(
+        params_t, gates_x, enc, init)
+    gp = jax.grad(_loss(pal, mask, text_mask), argnums=(0, 2))(
+        params_t, gates_x, enc, init)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gp)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-3, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) / denom < 2e-2
+
+
+def test_pallas_scan_bf16_enc_close():
+    """The VMEM planner may drop the encoder block to bf16 for long
+    text (plan_pass); forward context and gradients stay within the
+    bf16-multiply rounding envelope of the f32-enc kernel."""
+    params_t, gates_x, mask, enc, text_mask, init, d = _problem(2, 6,
+                                                                seed=5)
+    ref = make_decoder_scan(d["L"], d["H"], d["K"], d["E"], 0.5)
+    pal = make_pallas_decoder_scan(d["L"], d["H"], d["K"], d["E"], 0.5,
+                                   chunk=2, interpret=True,
+                                   enc_dtype=jnp.bfloat16)
+    r = ref(params_t, gates_x, mask, enc, text_mask, init)
+    p = pal(params_t, gates_x, mask, enc, text_mask, init)
+    for a, b in zip(jax.tree.leaves(r), jax.tree.leaves(p)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-3, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) / denom < 2e-2
+    gr = jax.grad(_loss(ref, mask, text_mask), argnums=(0, 2))(
+        params_t, gates_x, enc, init)
+    gp = jax.grad(_loss(pal, mask, text_mask), argnums=(0, 2))(
+        params_t, gates_x, enc, init)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gp)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-3, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) / denom < 3e-2
+
+
+def test_vmem_planner():
+    """plan_pass degrades chunk -> bf16 enc -> None as shapes grow, and
+    the estimate reproduces Mosaic's measured totals (154.0 MB at
+    B=256 U=256 C=2 f32-enc bf16-res, observed on chip)."""
+    from parrot_tpu.ops.fused_train_scan import (estimate_vmem_bytes,
+                                                 pallas_scan_fits,
+                                                 plan_pass)
+    dims = dict(L=3, H=512, K=10, E=256)
+    f, _ = estimate_vmem_bytes(256, 256, C=2, res_bytes=2, enc_bytes=4,
+                               **dims)
+    assert abs(f / 2**20 - 154.0) < 0.5
+    c, dt = plan_pass("fwd", 256, 128, max_chunk=2, res_bytes=2, **dims)
+    assert (c, dt) == (2, jnp.float32)
+    c, dt = plan_pass("fwd", 256, 256, max_chunk=2, res_bytes=2, **dims)
+    assert dt == jnp.bfloat16
+    assert plan_pass("fwd", 256, 512, max_chunk=2, res_bytes=2,
+                     **dims) is None
+    assert pallas_scan_fits(256, 128, **dims)
+    assert not pallas_scan_fits(256, 512, **dims)
+
+
+def test_model_level_pallas_scan_parity():
+    """Parrot.compute_cost value and parameter gradients agree between
+    pallas_scan on (interpret) and off, on a tiny aligned-enough model
+    (the CPU path skips the TPU alignment guard)."""
+    from parrot_tpu.config import ModelConfig
+    from parrot_tpu.data.pipeline import Batch
+    from parrot_tpu.models import Parrot
+
+    base = dict(frame_size=5, rnn_h_dim=8, encoder_dim=4, embed_dim=6,
+                vocab_size=11, attention_mixtures=3, num_mixtures=2,
+                readouts_dim=12, decoder_layers=2, which_cost="GMM",
+                split_backward=True, scan_residual_dtype="float32")
+    rng = np.random.RandomState(7)
+    B, S, U = 4, 6, 5
+    batch = Batch(
+        features=rng.randn(B, S, 5).astype(np.float32),
+        features_mask=(rng.rand(B, S) > 0.15).astype(np.float32),
+        prev_frame=np.zeros((B, 5), np.float32),
+        text=rng.randint(1, 11, size=(B, U)).astype(np.int32),
+        text_mask=np.ones((B, U), np.float32),
+        speaker=np.zeros((B,), np.int32),
+        start_flag=np.asarray(1.0, np.float32),
+    )
+    norm = {"mean": jnp.zeros(5), "std": jnp.ones(5)}
+
+    outs = {}
+    for flag in (False, True):
+        cfg = ModelConfig(pallas_scan=flag, **base)
+        model = Parrot(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        def cost(p, model=model):
+            loss, _, _ = model.compute_cost(p, norm, batch, None)
+            return loss
+
+        outs[flag] = (cost(params), jax.grad(cost)(params))
+    np.testing.assert_allclose(np.asarray(outs[False][0]),
+                               np.asarray(outs[True][0]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
