@@ -48,17 +48,17 @@ class Trainer:
                 f"{ndev} devices")
         if cfg.model.pallas_scan and ndev > 1:
             # the fused train-scan kernel is a single-device program;
-            # under the GSPMD step a multi-device mesh would replicate
-            # its operands (full global batch per chip) instead of
-            # partitioning them. Drop to the lax.scan split path — a
-            # shard_map-wrapped training step is the path to lifting
-            # this (the serving kernels already run under shard_map).
-            import dataclasses as _dc
-            cfg = self.cfg = cfg.replace(
-                model=_dc.replace(cfg.model, pallas_scan=False))
+            # under the plain GSPMD jit a multi-device mesh would
+            # replicate its operands (full global batch per chip)
+            # instead of partitioning them. The step is therefore built
+            # as a shard_map over the 'data' axis: each device runs the
+            # kernel on its local batch rows and gradients are psum'd
+            # explicitly (same math as the GSPMD step — the per-shard
+            # loss sums and frame counts are allreduced before the
+            # global-mean division).
             if not quiet:
-                print(f"[trainer] pallas_scan disabled: mesh has {ndev} "
-                      f"devices (single-device kernel)")
+                print(f"[trainer] pallas_scan on a {ndev}-device mesh: "
+                      f"using the shard_map per-device step")
         n_train = len(corpus.split("train"))
         if n_train < cfg.data.batch_size:
             raise ValueError(
@@ -130,23 +130,83 @@ class Trainer:
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------
+    def _use_shard_map(self) -> bool:
+        """Per-device shard_map step instead of GSPMD: required for the
+        fused Pallas train scan (a pallas_call is a single-device
+        program — GSPMD would replicate its operands over the mesh
+        rather than partition them)."""
+        return self.cfg.model.pallas_scan and self.mesh.devices.size > 1
+
+    def _shard_map_specs(self):
+        from jax.sharding import PartitionSpec as P
+        state_spec = jax.tree.map(lambda s: s.spec, self._state_sh)
+        batch_spec = jax.tree.map(lambda s: s.spec, self._batch_sh())
+        return P, state_spec, batch_spec
+
     def _build_train_step(self):
         model, norm, tcfg = self.model, self.norm, self.cfg.train
 
-        def train_step(params, opt_state, dstate, batch, step):
-            rng = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed + 1), step)
+        if self._use_shard_map():
+            from jax import shard_map
+            P, state_spec, batch_spec = self._shard_map_specs()
 
-            def loss_fn(p):
-                loss, new_state, metrics = model.compute_cost(
-                    p, norm, batch, dstate, rng=rng)
-                return loss, (new_state, metrics)
+            def grads_body(params, dstate, batch, step):
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(tcfg.seed + 1), step)
+                # decorrelate feedback noise across batch shards (each
+                # shard draws its own (T, B/ndev, D) noise stream)
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
-            (loss, (new_state, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            params, opt_state, info = adam_update(params, grads, opt_state,
-                                                  tcfg)
-            metrics = dict(metrics, **info)
-            return params, opt_state, new_state, metrics
+                def loss_fn(p):
+                    loss, new_state, metrics = model.compute_cost(
+                        p, norm, batch, dstate, rng=rng)
+                    # local SUM (compute_cost returns the local
+                    # frame-mean) so the global mean divides once, after
+                    # the allreduce — gradient-identical to the GSPMD
+                    # step's global frame-mean loss
+                    return loss * metrics["frames"], new_state
+
+                (lsum, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                frames = jnp.maximum(
+                    jax.lax.psum(
+                        jnp.sum(batch.features_mask), "data"), 1.0)
+                lsum = jax.lax.psum(lsum, "data")
+                grads = jax.tree.map(
+                    lambda g: jax.lax.psum(g, "data") / frames, grads)
+                metrics = {"loss": lsum / frames, "frames": frames}
+                return grads, new_state, metrics
+
+            grads_sm = shard_map(
+                grads_body, mesh=self.mesh,
+                in_specs=(P(), state_spec, batch_spec, P()),
+                out_specs=(P(), state_spec, P()),
+                check_vma=False)
+
+            def train_step(params, opt_state, dstate, batch, step):
+                # grads are pre-divided by the global frame count inside
+                # the shard_map (== gradient of the global-mean loss)
+                grads, new_state, metrics = grads_sm(
+                    params, dstate, batch, step)
+                params, opt_state, info = adam_update(
+                    params, grads, opt_state, tcfg)
+                return params, opt_state, new_state, dict(metrics, **info)
+        else:
+            def train_step(params, opt_state, dstate, batch, step):
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(tcfg.seed + 1), step)
+
+                def loss_fn(p):
+                    loss, new_state, metrics = model.compute_cost(
+                        p, norm, batch, dstate, rng=rng)
+                    return loss, (new_state, metrics)
+
+                (loss, (new_state, metrics)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                params, opt_state, info = adam_update(params, grads,
+                                                      opt_state, tcfg)
+                metrics = dict(metrics, **info)
+                return params, opt_state, new_state, metrics
 
         return jax.jit(
             train_step,
@@ -158,6 +218,23 @@ class Trainer:
 
     def _build_eval_step(self):
         model, norm = self.model, self.norm
+
+        if self._use_shard_map():
+            from jax import shard_map
+            P, state_spec, batch_spec = self._shard_map_specs()
+
+            def eval_body(params, dstate, batch):
+                loss, new_state, metrics = model.compute_cost(
+                    params, norm, batch, dstate)
+                s = jax.lax.psum(loss * metrics["frames"], "data")
+                f = jax.lax.psum(metrics["frames"], "data")
+                return new_state, s, f
+
+            fn = shard_map(eval_body, mesh=self.mesh,
+                           in_specs=(P(), state_spec, batch_spec),
+                           out_specs=(state_spec, P(), P()),
+                           check_vma=False)
+            return jax.jit(fn, donate_argnums=(1,))
 
         def eval_step(params, dstate, batch):
             loss, new_state, metrics = model.compute_cost(

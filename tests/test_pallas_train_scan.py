@@ -130,6 +130,93 @@ def test_vmem_planner():
     assert not pallas_scan_fits(256, 512, **dims)
 
 
+def test_shard_map_trainer_matches_single_device(tmp_path):
+    """pallas_scan on a multi-device mesh runs through the shard_map
+    per-device step (each device's pallas_call sees only its local batch
+    rows; grads psum'd explicitly). Params after 3 steps must match the
+    single-device pallas trainer and the 8-device GSPMD lax.scan
+    trainer."""
+    import dataclasses
+
+    from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
+                                   TrainConfig)
+    from parrot_tpu.data import H5Corpus, make_fixture_corpus
+    from parrot_tpu.train import Trainer
+
+    path = str(tmp_path / "fix.h5")
+    make_fixture_corpus(path, num_utterances=32, vocab_size=8,
+                        frame_size=6, frames_per_char=3, min_chars=3,
+                        max_chars=8, seed=3)
+    corpus = H5Corpus(path)
+    model = ModelConfig(frame_size=6, vocab_size=8, embed_dim=8,
+                        encoder_dim=8, rnn_h_dim=16, decoder_layers=2,
+                        readouts_dim=16, attention_mixtures=2,
+                        num_mixtures=2, which_cost="GMM",
+                        split_backward=True, pallas_scan=True,
+                        scan_residual_dtype="float32")
+    data = DataConfig(dataset=path, batch_size=8, seq_size=12,
+                      max_text_len=10, prefetch=1)
+
+    def run(ndev, sub, pallas):
+        m = dataclasses.replace(model, pallas_scan=pallas)
+        tr_cfg = TrainConfig(model_name="t", save_dir=str(tmp_path / sub),
+                             learning_rate=3e-3, num_steps=3,
+                             save_every=0, eval_every=0, log_every=1000,
+                             num_devices=ndev)
+        t = Trainer(ParrotConfig(model=m, data=data, train=tr_cfg),
+                    corpus, quiet=True)
+        t.train(num_steps=3)
+        return t.params
+
+    p1 = run(1, "a", pallas=True)       # single-device pallas (interpret)
+    p8 = run(8, "b", pallas=True)       # shard_map per-device pallas
+    p8_gspmd = run(8, "c", pallas=False)  # GSPMD lax.scan split path
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(p8_gspmd), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_shard_map_trainer_eval_and_resume(tmp_path):
+    """The shard_map trainer's eval path and checkpoint/resume behave
+    exactly like the GSPMD trainer's."""
+    from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
+                                   TrainConfig)
+    from parrot_tpu.data import H5Corpus, make_fixture_corpus
+    from parrot_tpu.train import Trainer
+
+    path = str(tmp_path / "fix.h5")
+    make_fixture_corpus(path, num_utterances=32, vocab_size=8,
+                        frame_size=6, frames_per_char=3, min_chars=3,
+                        max_chars=8, seed=4)
+    corpus = H5Corpus(path)
+    model = ModelConfig(frame_size=6, vocab_size=8, embed_dim=8,
+                        encoder_dim=8, rnn_h_dim=16, decoder_layers=2,
+                        readouts_dim=16, attention_mixtures=2,
+                        num_mixtures=2, which_cost="GMM",
+                        split_backward=True, pallas_scan=True,
+                        scan_residual_dtype="float32")
+    data = DataConfig(dataset=path, batch_size=8, seq_size=12,
+                      max_text_len=10, prefetch=1)
+    tr_cfg = TrainConfig(model_name="t", save_dir=str(tmp_path / "s"),
+                         learning_rate=3e-3, num_steps=4, save_every=4,
+                         eval_every=2, log_every=1000, num_devices=8)
+    cfg = ParrotConfig(model=model, data=data, train=tr_cfg)
+    t = Trainer(cfg, corpus, quiet=True)
+    t.train(num_steps=4)
+    v = t.evaluate(max_batches=2)
+    assert np.isfinite(v)
+    t2 = Trainer(cfg, corpus, quiet=True)
+    assert t2.resume()
+    assert t2.step == 4
+    for a, b in zip(jax.tree.leaves(t.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.train(num_steps=6)
+    assert t2.step == 6
+
+
 def test_model_level_pallas_scan_parity():
     """Parrot.compute_cost value and parameter gradients agree between
     pallas_scan on (interpret) and off, on a tiny aligned-enough model
