@@ -101,17 +101,25 @@ class ModelConfig:
                                        # step time). Auto-falls back for
                                        # layer_norm / stacked_scan /
                                        # remat_scan / parity probes
-    pallas_scan: bool = False          # run the split-backward decoder
-                                       # scan as fused Pallas fwd/bwd
+    pallas_scan: Optional[bool] = None  # run the split-backward decoder
+                                       # scan AND the encoder BiLSTM
+                                       # passes as fused Pallas fwd/bwd
                                        # kernels (ops/fused_train_scan):
                                        # weights + encoder block stay
                                        # VMEM-resident across all T
                                        # steps instead of re-read from
-                                       # HBM per step. TPU only (other
-                                       # backends fall back to the
-                                       # lax.scan split path); requires
-                                       # split_backward and the same
-                                       # guards
+                                       # HBM per step (+62% measured
+                                       # step throughput at B=256).
+                                       # None = AUTO: on for TPU when
+                                       # batch >= 64 and the shapes fit
+                                       # VMEM (below that the Mosaic
+                                       # compile cost outweighs the
+                                       # win), off on other backends.
+                                       # True forces it (interpreter on
+                                       # non-TPU — tests only); False
+                                       # disables.
+                                       # Requires split_backward and
+                                       # the same guards
     remat_scan: bool = False           # rematerialize the decoder scan body
                                        # (O(1) activation memory per step,
                                        # recompute in backward; for long

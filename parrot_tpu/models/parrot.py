@@ -105,16 +105,38 @@ class Parrot:
         """text: (B, U) int32 -> (B, U, E). Stacked BiLSTM encoder
         (cfg.encoder_layers levels; each level consumes the previous
         level's concatenated fwd/bwd states)."""
-        dt = self.cfg.compute_dtype
+        cfg = self.cfg
+        dt = cfg.compute_dtype
         x = Embedding.apply(params["embed"], text).transpose(1, 0, 2)
         mask_t = text_mask.T
-        split = self.cfg.split_backward and not self.cfg.layer_norm
+        split = cfg.split_backward and not cfg.layer_norm
+        use_pallas = False
+        if split:
+            # run the encoder's per-direction LSTM passes as fused
+            # Pallas kernels too (wh VMEM-resident; same alignment
+            # guard shape as the decoder kernel). pallas_scan=None is
+            # AUTO: on for TPU, never the interpreter (non-TPU backends
+            # engage it only when explicitly True — tests pin exactness)
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu:
+                # AUTO engages only at B >= 64: below that the kernels'
+                # win is marginal while their Mosaic compiles add
+                # minutes to small jobs (each unique shape compiles)
+                want = (cfg.pallas_scan if cfg.pallas_scan is not None
+                        else x.shape[1] >= 64)
+                use_pallas = (want and x.shape[1] % 8 == 0
+                              and cfg.encoder_dim % 128 == 0)
+            else:
+                use_pallas = cfg.pallas_scan is True
         if split:
             from parrot_tpu.nn.recurrent import bidirectional_lstm_split
         for pf, pb in zip(params["enc_fwd"], params["enc_bwd"]):
             if split:
-                x = bidirectional_lstm_split(pf, pb, x, mask_t,
-                                             compute_dtype=dt)
+                x = bidirectional_lstm_split(
+                    pf, pb, x, mask_t, compute_dtype=dt,
+                    pallas=use_pallas,
+                    residual_dtype=cfg.scan_residual_dtype,
+                    interpret=jax.default_backend() != "tpu")
             else:
                 x = bidirectional_lstm(pf, pb, x, mask_t,
                                        compute_dtype=dt)
@@ -332,17 +354,39 @@ class Parrot:
             # both passes; past B=256 or very long text it cannot)
             from parrot_tpu.ops.fused_train_scan import (
                 make_pallas_decoder_scan, pallas_scan_fits)
-            aligned = (B % 8 == 0 and self.H % 128 == 0
-                       and self.E % 128 == 0
-                       and pallas_scan_fits(
-                           B, U, L=self.L, H=self.H, K=self.K, E=self.E,
-                           res_bytes=jnp.dtype(res_dtype).itemsize))
-            if cfg.pallas_scan and (aligned or not on_tpu):
+
+            def fits(b):
+                return (b % 8 == 0 and pallas_scan_fits(
+                    b, U, L=self.L, H=self.H, K=self.K, E=self.E,
+                    res_bytes=jnp.dtype(res_dtype).itemsize))
+
+            # batch-split: when the full B overflows the kernel's VMEM
+            # plan (e.g. B=512 flagship), run the SAME kernel over
+            # n_split independent batch slabs — rows are independent
+            # through the whole scan, so results/gradients concatenate
+            # exactly; one compile (identical slab shapes)
+            n_split = 0
+            if self.H % 128 == 0 and self.E % 128 == 0:
+                for s in (1, 2, 4):
+                    if B % s == 0 and fits(B // s):
+                        n_split = s
+                        break
+            if on_tpu:
+                # pallas_scan=None is AUTO: on whenever the shapes fit
+                # AND the batch is large enough to pay for the Mosaic
+                # compiles (B >= 64; measured wins live at B >= 64)
+                want = (cfg.pallas_scan if cfg.pallas_scan is not None
+                        else B >= 64)
+                use_pallas = want and n_split > 0
+            else:
+                # non-TPU backends run the interpreter — only when
+                # explicitly requested (tests pin exactness there)
+                use_pallas = cfg.pallas_scan is True
+                n_split = n_split or 1
+            if use_pallas:
                 # fused Pallas fwd/bwd scan kernels: weights + enc block
                 # VMEM-resident across all T steps
-                # (ops/fused_train_scan.py). Non-TPU backends run the
-                # interpreter (tests); production CPU configs should
-                # leave pallas_scan off.
+                # (ops/fused_train_scan.py)
                 fn = make_pallas_decoder_scan(
                     self.L, self.H, self.K, self.E,
                     cfg.attention_alignment, residual_dtype=res_dtype,
@@ -352,6 +396,7 @@ class Parrot:
                 fn = make_decoder_scan(
                     self.L, self.H, self.K, self.E,
                     cfg.attention_alignment, residual_dtype=res_dtype)
+                n_split = 1
             layers_t = []
             for l in range(self.L):
                 w_w, hb_w = scan_mats[l]
@@ -359,8 +404,24 @@ class Parrot:
             params_t = (params["attn"]["proj"]["w"],
                         params["attn"]["proj"]["b"], tuple(layers_t))
             init = (state.hs, state.kappa, state.w)
-            feats, phis, (hs, kappa, w) = fn(
-                params_t, tuple(hoisted), mask, enc, text_mask, init)
+            if n_split == 1:
+                feats, phis, (hs, kappa, w) = fn(
+                    params_t, tuple(hoisted), mask, enc, text_mask, init)
+            else:
+                outs = []
+                bs = B // n_split
+                for i in range(n_split):
+                    sl = slice(i * bs, (i + 1) * bs)
+                    outs.append(fn(
+                        params_t,
+                        tuple(g[:, sl] for g in hoisted),
+                        mask[:, sl], enc[sl], text_mask[sl],
+                        jax.tree.map(lambda z: z[sl], init)))
+                feats = jnp.concatenate([o[0] for o in outs], axis=1)
+                phis = jnp.concatenate([o[1] for o in outs], axis=1)
+                hs, kappa, w = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0),
+                    *[o[2] for o in outs])
             readouts = jnp.tanh(Linear.apply(params["readout"], feats,
                                              dt))
             raw = Linear.apply(params["head"], readouts, dt)

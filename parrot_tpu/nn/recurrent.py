@@ -244,23 +244,37 @@ _LSTM_SCAN_SPLIT = {True: _make_lstm_scan_split(True),
 
 
 def lstm_scan_split(p, xs, init_state, mask, reverse=False,
-                    compute_dtype="float32"):
-    """lstm_scan with the hand-written VJP (plain cells only)."""
+                    compute_dtype="float32", pallas=False,
+                    residual_dtype="float32", interpret=False):
+    """lstm_scan with the hand-written VJP (plain cells only).
+
+    pallas=True runs both passes as fused Pallas kernels (wh
+    VMEM-resident across all steps, state in VMEM scratch —
+    ops/fused_train_scan.make_pallas_lstm_scan); same math, gate
+    residuals stream at residual_dtype."""
     assert "ln_g" not in p, "split-backward scan excludes layer_norm"
     x_proj = LSTMCell.input_proj(p, xs, compute_dtype)
+    if pallas:
+        from parrot_tpu.ops.fused_train_scan import make_pallas_lstm_scan
+        H = p["wh"].shape[0]
+        fn = make_pallas_lstm_scan(H, bool(reverse),
+                                   residual_dtype_name=residual_dtype,
+                                   interpret=interpret)
+        return fn(p["wh"], p["b"], x_proj, mask, init_state)
     hs, final = _LSTM_SCAN_SPLIT[bool(reverse)](
         p["wh"], p["b"], x_proj, mask, init_state)
     return hs, final
 
 
 def bidirectional_lstm_split(p_fwd, p_bwd, xs, mask,
-                             compute_dtype="float32"):
+                             compute_dtype="float32", pallas=False,
+                             residual_dtype="float32", interpret=False):
     """bidirectional_lstm via lstm_scan_split (see that docstring)."""
     B = xs.shape[1]
     H = p_fwd["wh"].shape[0]
     z = LSTMCell.zero_state(B, H)
-    hs_f, _ = lstm_scan_split(p_fwd, xs, z, mask, reverse=False,
-                              compute_dtype=compute_dtype)
-    hs_b, _ = lstm_scan_split(p_bwd, xs, z, mask, reverse=True,
-                              compute_dtype=compute_dtype)
+    kw = dict(compute_dtype=compute_dtype, pallas=pallas,
+              residual_dtype=residual_dtype, interpret=interpret)
+    hs_f, _ = lstm_scan_split(p_fwd, xs, z, mask, reverse=False, **kw)
+    hs_b, _ = lstm_scan_split(p_bwd, xs, z, mask, reverse=True, **kw)
     return jnp.concatenate([hs_f, hs_b], axis=-1)

@@ -701,3 +701,265 @@ def make_pallas_decoder_scan(L: int, H: int, K: int, E: int,
 
     scan_pallas.defvjp(scan_fwd, scan_bwd)
     return scan_pallas
+
+
+# ======================================================================
+# Fused Pallas LSTM scan (the encoder's per-direction pass)
+# ======================================================================
+#
+# Same design as the decoder kernels, one plain LSTM layer: the
+# recurrent weight matrix stays VMEM-resident for the whole pass, the
+# (h, c) state (and (dh, dc) in the reverse kernel) lives in VMEM
+# scratch, and the per-step streams (hoisted input projections in;
+# h / gate residuals / post-mix cell states out) ride chunked
+# double-buffered HBM blocks. Replaces the lax.scan in
+# nn/recurrent.lstm_scan_split, whose per-step loop iterations and
+# per-step wh re-reads dominate the encoder's cost
+# (docs/PERFORMANCE.md round-3 breakdown: encoder = 5.1 ms of the
+# 15.2 ms B=256 step). Math contract: EXACTLY
+# recurrent._make_lstm_scan_split's computation — same forward values,
+# same gradient structure (dwh/db fall out of the same post-hoc
+# (T·B)-row GEMM on the host side).
+
+
+def lstm_plan_chunk(B, H, *, max_chunk, res_bytes,
+                    budget_mb=_VMEM_BUDGET_MB):
+    """Largest chunk C whose fwd/bwd footprints both fit VMEM (None if
+    even C=1 overflows — tiny weights make that effectively impossible
+    at sane (B, H), but guard anyway)."""
+    budget = budget_mb * 1024 * 1024
+    w = H * 4 * H * 4 + 4 * H * 4          # wh (or whT) + bias
+    common = w + 2 * B * 2 * H * 4 * 2     # init + final (buffered)
+    common += 2 * B * H * 4                # scratch h/c (or dh/dc)
+    C = int(max_chunk)
+    while C >= 1:
+        per = 2 * C * B                     # double-buffered chunk rows
+        fwd = (common
+               + per * (4 * H * 4           # x_proj in
+                        + _MASK_LANES * 4   # mask in
+                        + H * 4             # hs out
+                        + 4 * H * res_bytes  # gates out
+                        + H * 4))           # cs out
+        bwd = (common
+               + per * (H * 4               # dh_up in
+                        + 4 * H * res_bytes  # gates in
+                        + H * 4             # c_prev in
+                        + _MASK_LANES * 4   # mask in
+                        + 4 * H * res_bytes))  # dgates out
+        if max(fwd, bwd) <= budget:
+            return C
+        C //= 2
+    return None
+
+
+def _make_lstm_fwd_kernel(*, B, H, C, reverse, res_dtype):
+    def kernel(wh_ref, b_ref, init_ref, xp_ref, mask_ref,
+               hs_out, gates_out, cs_out, final_out, h_s, c_s):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            h_s[:] = init_ref[:, :H]
+            c_s[:] = init_ref[:, H:]
+
+        steps = reversed(range(C)) if reverse else range(C)
+        for s in steps:
+            m = mask_ref[s][:, 0:1]
+            g = xp_ref[s] + _dot(h_s[:], wh_ref[:]) + b_ref[:]
+            i = _sigmoid(g[:, :H])
+            f = _sigmoid(g[:, H:2 * H])
+            z = jnp.tanh(g[:, 2 * H:3 * H])
+            o = _sigmoid(g[:, 3 * H:])
+            c_new = f * c_s[:] + i * z
+            h_new = o * jnp.tanh(c_new)
+            h = m * h_new + (1 - m) * h_s[:]
+            c = m * c_new + (1 - m) * c_s[:]
+            h_s[:] = h
+            c_s[:] = c
+            hs_out[s] = h
+            gates_out[s] = g.astype(res_dtype)
+            cs_out[s] = c
+        final_out[:] = jnp.concatenate([h_s[:], c_s[:]], axis=-1)
+
+    return kernel
+
+
+def _make_lstm_bwd_kernel(*, B, H, C, reverse, res_dtype, grad_dtype):
+    F32 = jnp.float32
+
+    def kernel(whT_ref, dcarry_ref, dh_up_ref, gates_ref, cprev_ref,
+               mask_ref, dgates_out, dfinal_out, dh_s, dc_s):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dh_s[:] = dcarry_ref[:, :H]
+            dc_s[:] = dcarry_ref[:, H:]
+
+        # walk time in the direction OPPOSITE to the forward pass
+        steps = range(C) if reverse else reversed(range(C))
+        for s in steps:
+            m = mask_ref[s][:, 0:1]
+            g = gates_ref[s].astype(F32)
+            i = _sigmoid(g[:, :H])
+            f = _sigmoid(g[:, H:2 * H])
+            z = jnp.tanh(g[:, 2 * H:3 * H])
+            o = _sigmoid(g[:, 3 * H:])
+            cp = cprev_ref[s]
+            cpv = f * cp + i * z
+            tc = jnp.tanh(cpv)
+            dh_tot = dh_s[:] + dh_up_ref[s]
+            dhp = m * dh_tot
+            dcp = m * dc_s[:] + dhp * o * (1 - tc * tc)
+            dg = jnp.concatenate([
+                dcp * z * i * (1 - i),
+                dcp * cp * f * (1 - f),
+                dcp * i * (1 - z * z),
+                dhp * tc * o * (1 - o)], axis=-1)
+            dh_s[:] = (1 - m) * dh_tot + _dot(dg, whT_ref[:])
+            dc_s[:] = (1 - m) * dc_s[:] + dcp * f
+            dgates_out[s] = dg.astype(grad_dtype)
+        dfinal_out[:] = jnp.concatenate([dh_s[:], dc_s[:]], axis=-1)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_lstm_scan(H: int, reverse: bool,
+                          residual_dtype_name: str = "float32",
+                          chunk: int = 8,
+                          interpret: bool = False,
+                          vmem_limit_mb: int = 127):
+    """Drop-in replacement for recurrent._LSTM_SCAN_SPLIT[reverse]
+    backed by the fused Pallas kernels: run(wh, b, x_proj, mask, init)
+    -> (hs, final). Cached per (H, direction, dtype, chunk) so repeated
+    traces reuse one custom_vjp closure."""
+    res_dtype = jnp.dtype(residual_dtype_name)
+    grad_dtype = res_dtype
+    reverse = bool(reverse)
+
+    def _plan(B):
+        if interpret:
+            return int(chunk)
+        C = lstm_plan_chunk(B, H, max_chunk=chunk,
+                            res_bytes=res_dtype.itemsize)
+        if C is None:
+            raise ValueError(
+                f"pallas lstm scan does not fit VMEM at B={B} H={H}")
+        return C
+
+    def _call_fwd(wh, b, x_proj, mask, init):
+        T, B = mask.shape
+        C = _plan(B)
+        nc = -(-T // C)
+        Tp = nc * C
+        xp = _pad_t(x_proj.astype(jnp.float32), Tp)
+        mask_exp = jnp.broadcast_to(
+            _pad_t(mask.astype(jnp.float32), Tp)[:, :, None],
+            (Tp, B, _MASK_LANES))
+        init_flat = jnp.concatenate(
+            [init[0].astype(jnp.float32), init[1].astype(jnp.float32)],
+            axis=-1)
+        kernel = _make_lstm_fwd_kernel(B=B, H=H, C=C, reverse=reverse,
+                                       res_dtype=res_dtype)
+        # the fwd pass streams chunks in time order for reverse=False
+        # and from the tail for reverse=True (zero-padded steps are
+        # masked passthrough, so tail padding is direction-agnostic)
+        ch = (functools.partial(_chunked_rev, C, nc) if reverse
+              else functools.partial(_chunked, C))
+        call = pl.pallas_call(
+            kernel,
+            grid=(nc,),
+            in_specs=[_vm(), _vm(), _vm(),
+                      ch(B, 4 * H), ch(B, _MASK_LANES)],
+            out_specs=[ch(B, H), ch(B, 4 * H), ch(B, H),
+                       _const(B, 2 * H)],
+            out_shape=[jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+                       jax.ShapeDtypeStruct((Tp, B, 4 * H), res_dtype),
+                       jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 2 * H), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                            pltpu.VMEM((B, H), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )
+        hs, gates, cs, final = call(
+            wh.astype(jnp.float32), b.astype(jnp.float32)[None],
+            init_flat, xp, mask_exp)
+        return (hs[:T], gates[:T], cs[:T],
+                (final[:, :H], final[:, H:]))
+
+    def _call_bwd(wh, gates, c_prev, mask, dhs_up, dcarry):
+        T, B = mask.shape
+        C = _plan(B)
+        nc = -(-T // C)
+        Tp = nc * C
+        mask_exp = jnp.broadcast_to(
+            _pad_t(mask.astype(jnp.float32), Tp)[:, :, None],
+            (Tp, B, _MASK_LANES))
+        dh_up = _pad_t(dhs_up.astype(jnp.float32), Tp)
+        gates_p = _pad_t(gates, Tp)
+        c_prev_p = _pad_t(c_prev, Tp)
+        dcarry_flat = jnp.concatenate(
+            [dcarry[0].astype(jnp.float32),
+             dcarry[1].astype(jnp.float32)], axis=-1)
+        kernel = _make_lstm_bwd_kernel(B=B, H=H, C=C, reverse=reverse,
+                                       res_dtype=res_dtype,
+                                       grad_dtype=grad_dtype)
+        # opposite chunk order to the fwd pass
+        ch = (functools.partial(_chunked, C) if reverse
+              else functools.partial(_chunked_rev, C, nc))
+        call = pl.pallas_call(
+            kernel,
+            grid=(nc,),
+            in_specs=[_vm(), _vm(),
+                      ch(B, H), ch(B, 4 * H), ch(B, H),
+                      ch(B, _MASK_LANES)],
+            out_specs=[ch(B, 4 * H), _const(B, 2 * H)],
+            out_shape=[jax.ShapeDtypeStruct((Tp, B, 4 * H), grad_dtype),
+                       jax.ShapeDtypeStruct((B, 2 * H), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                            pltpu.VMEM((B, H), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )
+        dgates, dfinal = call(wh.astype(jnp.float32).T, dcarry_flat,
+                              dh_up, gates_p, c_prev_p, mask_exp)
+        return dgates[:T], (dfinal[:, :H], dfinal[:, H:])
+
+    def _shift_prev(seq, x0):
+        """Previous-step value along the scan direction (recurrent.py
+        run_bwd contract: for reverse=True step t's predecessor is
+        t+1)."""
+        if reverse:
+            return jnp.concatenate([seq[1:], x0[None].astype(seq.dtype)],
+                                   axis=0)
+        return jnp.concatenate([x0[None].astype(seq.dtype), seq[:-1]],
+                               axis=0)
+
+    @jax.custom_vjp
+    def run(wh, b, x_proj, mask, init):
+        hs, _, _, final = _call_fwd(wh, b, x_proj, mask, init)
+        return hs, final
+
+    def run_fwd(wh, b, x_proj, mask, init):
+        hs, gates, cs, final = _call_fwd(wh, b, x_proj, mask, init)
+        return (hs, final), (wh, gates, cs, hs, mask, init)
+
+    def run_bwd(res, cts):
+        wh, gates, cs, hs, mask, init = res
+        dhs_up, dcarry = cts
+        c_prev = _shift_prev(cs, init[1])
+        h_prev = _shift_prev(hs, init[0])
+        dgates, dinit = _call_bwd(wh, gates, c_prev, mask, dhs_up,
+                                  dcarry)
+        T, B = mask.shape
+        dg_flat = dgates.astype(jnp.float32).reshape(T * B, 4 * H)
+        dwh = jnp.dot(h_prev.reshape(T * B, H).T, dg_flat,
+                      preferred_element_type=jnp.float32)
+        db = dg_flat.sum(axis=0)
+        return (dwh, db, dgates.astype(jnp.float32),
+                jnp.zeros_like(mask), dinit)
+
+    run.defvjp(run_fwd, run_bwd)
+    return run

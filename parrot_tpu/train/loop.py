@@ -46,7 +46,7 @@ class Trainer:
             raise ValueError(
                 f"batch_size {cfg.data.batch_size} not divisible by "
                 f"{ndev} devices")
-        if cfg.model.pallas_scan and ndev > 1:
+        if self._pallas_resolved() and ndev > 1:
             # the fused train-scan kernel is a single-device program;
             # under the plain GSPMD jit a multi-device mesh would
             # replicate its operands (full global batch per chip)
@@ -130,12 +130,23 @@ class Trainer:
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------
+    def _pallas_resolved(self) -> bool:
+        """pallas_scan with None resolved to its AUTO meaning: on for
+        TPU backends when the per-device batch is >= 64, off elsewhere
+        (config.py; the model applies the same gate per shard)."""
+        ps = self.cfg.model.pallas_scan
+        if ps is None:
+            per_dev = self.cfg.data.batch_size // max(
+                self.mesh.devices.size, 1)
+            ps = jax.default_backend() == "tpu" and per_dev >= 64
+        return bool(ps)
+
     def _use_shard_map(self) -> bool:
         """Per-device shard_map step instead of GSPMD: required for the
         fused Pallas train scan (a pallas_call is a single-device
         program — GSPMD would replicate its operands over the mesh
         rather than partition them)."""
-        return self.cfg.model.pallas_scan and self.mesh.devices.size > 1
+        return self._pallas_resolved() and self.mesh.devices.size > 1
 
     def _shard_map_specs(self):
         from jax.sharding import PartitionSpec as P

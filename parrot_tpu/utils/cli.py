@@ -54,11 +54,16 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"],
                    help="bfloat16: stream the encoder block at bf16 "
                         "through the decoder scan")
-    p.add_argument("--pallas_scan", action="store_true", default=None,
-                   help="run the decoder training scan as fused Pallas "
-                        "fwd/bwd kernels (single-device TPU; auto-falls "
-                        "back when the shapes do not fit VMEM — "
-                        "docs/PERFORMANCE.md)")
+    p.add_argument("--pallas_scan", dest="pallas_scan",
+                   action="store_true", default=None,
+                   help="force the fused Pallas fwd/bwd training "
+                        "kernels for the decoder scan + encoder passes "
+                        "(default AUTO: on for TPU when the shapes fit "
+                        "VMEM, off elsewhere — docs/PERFORMANCE.md)")
+    p.add_argument("--no_pallas_scan", dest="pallas_scan",
+                   action="store_false",
+                   help="disable the fused Pallas training kernels "
+                        "(lax.scan split path)")
 
 
 def train_parse(argv=None) -> ParrotConfig:

@@ -64,7 +64,18 @@ def main():
     p.add_argument("--stacked_scan", action="store_true",
                    help="one stacked GEMM per decoder layer in the scan "
                         "body (ModelConfig.stacked_scan)")
+    p.add_argument("--pallas_scan", dest="pallas_scan",
+                   action="store_true", default=None,
+                   help="force the fused Pallas fwd/bwd kernels for the "
+                        "decoder scan AND the encoder passes (default "
+                        "AUTO: on for TPU when shapes fit; implies "
+                        "--split_backward)")
+    p.add_argument("--no_pallas_scan", dest="pallas_scan",
+                   action="store_false",
+                   help="disable the fused Pallas training kernels")
     a = p.parse_args()
+    if a.pallas_scan:
+        a.split_backward = True
 
     import jax
     if a.cpu:
@@ -82,7 +93,8 @@ def main():
                       scan_enc_dtype=a.scan_enc_dtype,
                       split_backward=a.split_backward,
                       scan_residual_dtype=a.scan_residual_dtype,
-                      remat_head=a.remat_head)
+                      remat_head=a.remat_head,
+                      pallas_scan=a.pallas_scan)
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -130,6 +130,72 @@ def test_vmem_planner():
     assert not pallas_scan_fits(256, 512, **dims)
 
 
+@pytest.mark.parametrize("reverse,T,chunk", [(False, 6, 2), (True, 6, 2),
+                                             (False, 7, 4), (True, 5, 2)])
+def test_pallas_lstm_scan_matches_split(reverse, T, chunk):
+    """The fused Pallas LSTM scan (encoder pass) matches the lax.scan
+    split path bit-for-bit in interpret mode: forward values, final
+    state, and every gradient — both directions, T not divisible by
+    the chunk."""
+    from parrot_tpu.nn.recurrent import _LSTM_SCAN_SPLIT
+    from parrot_tpu.ops.fused_train_scan import make_pallas_lstm_scan
+
+    H, B = 8, 4
+    rng = np.random.RandomState(11 + int(reverse))
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    wh, b = f(H, 4 * H), f(4 * H)
+    x_proj = f(T, B, 4 * H)
+    mask = jnp.asarray((rng.rand(T, B) > 0.2).astype(np.float32))
+    init = (f(B, H), f(B, H))
+    ref = _LSTM_SCAN_SPLIT[reverse]
+    pal = make_pallas_lstm_scan(H, reverse, chunk=chunk, interpret=True)
+
+    r = ref(wh, b, x_proj, mask, init)
+    p = pal(wh, b, x_proj, mask, init)
+    for a, bb in zip(jax.tree.leaves(r), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-6)
+
+    def loss(fn):
+        def go(wh, b, x_proj, init):
+            hs, (hf, cf) = fn(wh, b, x_proj, mask, init)
+            w = jnp.cos(jnp.arange(hs.size, dtype=jnp.float32)
+                        .reshape(hs.shape) * 0.01)
+            return jnp.sum(hs * w) + jnp.sum(hf * 0.2) + jnp.sum(cf * 0.1)
+        return go
+
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(wh, b, x_proj, init)
+    gp = jax.grad(loss(pal), argnums=(0, 1, 2, 3))(wh, b, x_proj, init)
+    for a, bb in zip(jax.tree.leaves(gr), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-5)
+
+
+def test_pallas_lstm_scan_carried_state_and_full_mask():
+    """Nonzero initial state carries through; a fully-masked batch row
+    passes the state through unchanged with zero gradient flow."""
+    from parrot_tpu.nn.recurrent import _LSTM_SCAN_SPLIT
+    from parrot_tpu.ops.fused_train_scan import make_pallas_lstm_scan
+
+    H, B, T = 8, 4, 6
+    rng = np.random.RandomState(3)
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    wh, b = f(H, 4 * H), f(4 * H)
+    x_proj = f(T, B, 4 * H)
+    mask = np.ones((T, B), np.float32)
+    mask[:, 0] = 0.0  # row 0 fully padded
+    mask = jnp.asarray(mask)
+    init = (f(B, H), f(B, H))
+    pal = make_pallas_lstm_scan(H, False, chunk=3, interpret=True)
+    hs, (hf, cf) = pal(wh, b, x_proj, mask, init)
+    np.testing.assert_array_equal(np.asarray(hf)[0], np.asarray(init[0])[0])
+    np.testing.assert_array_equal(np.asarray(cf)[0], np.asarray(init[1])[0])
+    r = _LSTM_SCAN_SPLIT[False](wh, b, x_proj, mask, init)
+    for a, bb in zip(jax.tree.leaves(r), jax.tree.leaves((hs, (hf, cf)))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-6)
+
+
 def test_shard_map_trainer_matches_single_device(tmp_path):
     """pallas_scan on a multi-device mesh runs through the shard_map
     per-device step (each device's pallas_call sees only its local batch
@@ -215,6 +281,60 @@ def test_shard_map_trainer_eval_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     t2.train(num_steps=6)
     assert t2.step == 6
+
+
+def test_model_level_batch_split_parity(monkeypatch):
+    """When the full batch overflows the kernel's VMEM plan, the model
+    runs the SAME kernel over independent batch slabs; loss and grads
+    must match the unsplit path exactly (rows are independent)."""
+    import parrot_tpu.ops.fused_train_scan as fts
+    from parrot_tpu.config import ModelConfig
+    from parrot_tpu.data.pipeline import Batch
+    from parrot_tpu.models import Parrot
+
+    base = dict(frame_size=5, rnn_h_dim=8, encoder_dim=4, embed_dim=6,
+                vocab_size=11, attention_mixtures=3, num_mixtures=2,
+                readouts_dim=12, decoder_layers=2, which_cost="GMM",
+                split_backward=True, scan_residual_dtype="float32")
+    rng = np.random.RandomState(9)
+    B, S, U = 8, 6, 5
+    batch = Batch(
+        features=rng.randn(B, S, 5).astype(np.float32),
+        features_mask=(rng.rand(B, S) > 0.15).astype(np.float32),
+        prev_frame=np.zeros((B, 5), np.float32),
+        text=rng.randint(1, 11, size=(B, U)).astype(np.int32),
+        text_mask=np.ones((B, U), np.float32),
+        speaker=np.zeros((B,), np.int32),
+        start_flag=np.asarray(1.0, np.float32),
+    )
+    norm = {"mean": jnp.zeros(5), "std": jnp.ones(5)}
+
+    real_fits = fts.pallas_scan_fits
+
+    def fits_half_only(b, u, **kw):
+        return b <= B // 2 and real_fits(b, u, **kw)
+
+    outs = {}
+    for split in (False, True):
+        if split:
+            monkeypatch.setattr(fts, "pallas_scan_fits", fits_half_only)
+        else:
+            monkeypatch.setattr(fts, "pallas_scan_fits", real_fits)
+        cfg = ModelConfig(pallas_scan=True, **base)
+        model = Parrot(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        def cost(p, model=model):
+            loss, _, _ = model.compute_cost(p, norm, batch, None)
+            return loss
+
+        outs[split] = (cost(params), jax.grad(cost)(params))
+    np.testing.assert_allclose(np.asarray(outs[False][0]),
+                               np.asarray(outs[True][0]), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
 
 
 def test_model_level_pallas_scan_parity():
