@@ -38,6 +38,35 @@ from parrot_tpu.nn.attention import GravesWindow
 from parrot_tpu.nn.mdn import gmm_nll, gmm_sample, split_gmm_params, mse_cost
 
 
+def _default_backend() -> str:
+    """Indirection for resolve_pallas_scan's backend probe (tests pin
+    the 'tpu' decision table without a chip by monkeypatching this)."""
+    return jax.default_backend()
+
+
+def resolve_pallas_scan(cfg: ModelConfig, per_device_batch: int,
+                        backend: Optional[str] = None) -> bool:
+    """ONE source of truth for "may this trace use the Pallas training
+    kernels" (VERDICT r3 #1). The model itself never auto-decides: the
+    entry points that know the mesh (Trainer, train_joint, perf scripts)
+    resolve `pallas_scan=None` (AUTO) to a concrete bool with this
+    function and construct the model with it, so a multi-device GSPMD
+    jit can never trace a single-device pallas_call at the global batch
+    (operand replication — the failure the shard_map step exists to
+    avoid, train/loop.py).
+
+    AUTO engages only on TPU backends when the PER-DEVICE batch is
+    >= 64: below that the kernels' win is marginal while their Mosaic
+    compiles add minutes to small jobs. Shape feasibility (VMEM fit,
+    alignment) stays a per-call guard inside the model.
+    """
+    if cfg.pallas_scan is not None:
+        return bool(cfg.pallas_scan)
+    if backend is None:
+        backend = _default_backend()
+    return backend == "tpu" and per_device_batch >= 64
+
+
 class DecoderState(NamedTuple):
     """Carried TBPTT state (one utterance batch)."""
 
@@ -100,6 +129,20 @@ class Parrot:
                                           cfg.speaker_dim)
         return p
 
+    def inference_view(self) -> "Parrot":
+        """The same model with the TRAINING Pallas kernels disabled —
+        the view every inference entry point (Sampler, streaming) must
+        trace (VERDICT r3 #2): the fused train-scan forward always
+        streams its (T, B, 4H) gate and (T, B, H) cell residuals to HBM
+        for a backward that serving never runs, and costs serving
+        warm-up an extra pair of Mosaic compiles. encode() here runs
+        the plain scan forward — identical math, no residual traffic.
+        """
+        if self.cfg.pallas_scan is False:
+            return self
+        import dataclasses
+        return Parrot(dataclasses.replace(self.cfg, pallas_scan=False))
+
     # ------------------------------------------------------------------
     def encode(self, params, text, text_mask):
         """text: (B, U) int32 -> (B, U, E). Stacked BiLSTM encoder
@@ -111,23 +154,19 @@ class Parrot:
         mask_t = text_mask.T
         split = cfg.split_backward and not cfg.layer_norm
         use_pallas = False
-        if split:
+        if split and cfg.pallas_scan is True:
             # run the encoder's per-direction LSTM passes as fused
             # Pallas kernels too (wh VMEM-resident; same alignment
-            # guard shape as the decoder kernel). pallas_scan=None is
-            # AUTO: on for TPU, never the interpreter (non-TPU backends
-            # engage it only when explicitly True — tests pin exactness)
-            on_tpu = jax.default_backend() == "tpu"
-            if on_tpu:
-                # AUTO engages only at B >= 64: below that the kernels'
-                # win is marginal while their Mosaic compiles add
-                # minutes to small jobs (each unique shape compiles)
-                want = (cfg.pallas_scan if cfg.pallas_scan is not None
-                        else x.shape[1] >= 64)
-                use_pallas = (want and x.shape[1] % 8 == 0
+            # guard shape as the decoder kernel). The model never
+            # auto-decides — pallas_scan must be an explicit True,
+            # resolved by the caller (resolve_pallas_scan); None is OFF
+            # here so an unresolved config can never trace a
+            # pallas_call into a multi-device GSPMD jit
+            if jax.default_backend() == "tpu":
+                use_pallas = (x.shape[1] % 8 == 0
                               and cfg.encoder_dim % 128 == 0)
             else:
-                use_pallas = cfg.pallas_scan is True
+                use_pallas = True  # interpreter (tests pin exactness)
         if split:
             from parrot_tpu.nn.recurrent import bidirectional_lstm_split
         for pf, pb in zip(params["enc_fwd"], params["enc_bwd"]):
@@ -371,13 +410,12 @@ class Parrot:
                     if B % s == 0 and fits(B // s):
                         n_split = s
                         break
+            # the model never auto-decides pallas (resolve_pallas_scan
+            # is the single source of truth, applied by the caller);
+            # None is OFF so an unresolved config cannot put a
+            # pallas_call inside a multi-device GSPMD jit
             if on_tpu:
-                # pallas_scan=None is AUTO: on whenever the shapes fit
-                # AND the batch is large enough to pay for the Mosaic
-                # compiles (B >= 64; measured wins live at B >= 64)
-                want = (cfg.pallas_scan if cfg.pallas_scan is not None
-                        else B >= 64)
-                use_pallas = want and n_split > 0
+                use_pallas = cfg.pallas_scan is True and n_split > 0
             else:
                 # non-TPU backends run the interpreter — only when
                 # explicitly requested (tests pin exactness there)

@@ -35,7 +35,11 @@ class Sampler:
         autoregressive decode needs no cross-chip communication at all.
         The plain while_loop path handles sharded inputs through jit's
         normal SPMD partitioning either way."""
-        self.model = model
+        # inference traces the residual-free view: the training kernels'
+        # forward streams gate/cell residuals to HBM that no backward
+        # ever reads and pays serving warm-up extra Mosaic compiles
+        # (VERDICT r3 #2) — encode() here must run the plain forward
+        self.model = model.inference_view()
         self.params = params
         self.norm = norm
         self.cfg = cfg

@@ -67,7 +67,9 @@ class StreamingSynthesizer:
                  interpret: Optional[bool] = None, vnorm=None,
                  mesh=None):
         self.mesh = mesh
-        self.model = model
+        # residual-free inference view (same contract as Sampler): the
+        # encoder prep must not trace the training Pallas kernels
+        self.model = model.inference_view()
         self.params = params
         self.norm = {k: jnp.asarray(v) for k, v in norm.items()}
         # the vocoder's own conditioning stats (load_vocoder_for_inference

@@ -19,6 +19,16 @@ next-step #2). The search is oracle-guided: parity.first_divergence
 names the first layer whose activations diverge, and only the tensors
 feeding that layer are refined, in forward order.
 
+When the regex name map does not cover the archive at all (brick paths
+unlike anything guessed — the exact unverifiable unknown of SURVEY.md
+§0), a SHAPE-GUIDED FALLBACK takes over (VERDICT r3 weak #5): unmatched
+archive arrays and unfilled model slots are grouped by
+transpose-equivalent shape; singleton groups assign directly, and
+ambiguous same-shape groups become additional per-stage search axes
+that the same activation oracle resolves jointly with gate order /
+orientation / head layout. A fully renamed archive therefore still
+round-trips with zero hand-written map entries (tests/test_auto_pin.py).
+
 Contract: BASELINE.json:5 "checkpoint-compatible weights"; expected
 reference location [ref: blocks serialization — UNVERIFIED].
 """
@@ -38,11 +48,15 @@ from parrot_tpu.train.theano_import import (build_default_map,
 
 
 def _assign_raw(ref: Dict[str, np.ndarray], rules,
-                ours_flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+                ours_flat: Dict[str, np.ndarray]
+                ) -> Tuple[Dict[str, np.ndarray], set]:
     """Name-map matching only (no transforms): our_path -> raw ref
     array. Same first-match-wins semantics as import_theano_checkpoint;
-    shape compatibility means equal or transposed-equal."""
+    shape compatibility means equal or transposed-equal. Also returns
+    the set of consumed archive names (the leftovers feed the
+    shape-guided fallback)."""
     filled: Dict[str, np.ndarray] = {}
+    used: set = set()
     for ref_name, arr in ref.items():
         for pattern, our_path, _ in rules:
             if re.match(pattern, ref_name):
@@ -56,8 +70,65 @@ def _assign_raw(ref: Dict[str, np.ndarray], rules,
                         f"{ref_name} -> {our_path}: shape {arr.shape} "
                         f"incompatible with model {want}")
                 filled[our_path] = arr
+                used.add(ref_name)
                 break
-    return filled
+    return filled, used
+
+
+def _shape_class(shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Transpose-equivalence class: 2-D shapes compare unordered (the
+    archive may store either orientation); other ranks compare exact."""
+    return tuple(sorted(shape)) if len(shape) == 2 else tuple(shape)
+
+
+def _shape_fallback(ref: Dict[str, np.ndarray], used: set,
+                    ours_flat: Dict[str, np.ndarray],
+                    raw: Dict[str, np.ndarray],
+                    missing: List[str]):
+    """Shape-guided assignment of unmatched archive arrays to unfilled
+    model slots (VERDICT r3 weak #5): group both sides by
+    transpose-equivalent shape, force the singleton groups, and return
+    the ambiguous groups for the oracle-guided search to permute (the
+    activation trace resolves them in forward order, exactly like the
+    convention axes). Returns (raw with an initial assignment for every
+    missing path, ambiguous groups [{'paths': [...], 'refs': [...]}]).
+    """
+    left = sorted(set(ref) - used)
+    miss_by_class: Dict[Tuple[int, ...], List[str]] = {}
+    for path in missing:
+        miss_by_class.setdefault(
+            _shape_class(ours_flat[path].shape), []).append(path)
+    left_by_class: Dict[Tuple[int, ...], List[str]] = {}
+    for name in left:
+        left_by_class.setdefault(
+            _shape_class(ref[name].shape), []).append(name)
+    problems = []
+    for cls, paths in miss_by_class.items():
+        cands = left_by_class.get(cls, [])
+        if len(cands) < len(paths):
+            problems.append(
+                f"shape {cls}: {len(paths)} model slot(s) "
+                f"({', '.join(paths[:4])}) but only {len(cands)} "
+                f"unmatched archive array(s)")
+    if problems:
+        raise ValueError(
+            "shape-guided fallback cannot cover the name map's gaps: "
+            + "; ".join(problems))
+    raw = dict(raw)
+    groups = []
+    for cls in sorted(miss_by_class):
+        paths = sorted(miss_by_class[cls])
+        refs = left_by_class[cls]
+        # surplus archive arrays of this shape (e.g. optimizer slots
+        # riding in the pickle) stay unassigned; the permutation axis
+        # covers which subset lands where
+        for i, path in enumerate(paths):
+            raw[path] = ref[refs[i]]
+        if len(paths) == 1 and len(refs) == 1:
+            groups.append({"paths": paths, "refs": refs, "forced": True})
+        else:
+            groups.append({"paths": paths, "refs": refs, "forced": False})
+    return raw, groups
 
 
 def _lstm_cells(ours_flat) -> List[str]:
@@ -129,18 +200,41 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
                                          report_against)
 
     cfg = model.cfg
-    ref = load_reference_arrays(archive_path)
+    ref = {k: np.asarray(v)
+           for k, v in load_reference_arrays(archive_path).items()}
     if rules is None:
         rules = build_default_map(cfg.encoder_layers, cfg.decoder_layers)
     ours_flat = {k: np.asarray(v)
                  for k, v in flatten_tree(params_template).items()}
-    raw = _assign_raw(ref, rules, ours_flat)
+    raw, used = _assign_raw(ref, rules, ours_flat)
     missing = sorted(set(ours_flat) - set(raw))
+    assign_groups: List[Dict] = []
     if missing:
-        raise ValueError("name map leaves model tensors unfilled: "
-                         + ", ".join(missing[:8]))
+        # the regexes don't cover the archive's brick names — fall back
+        # to shape-guided assignment; ambiguous same-shape groups become
+        # search axes resolved by the activation oracle below
+        raw, assign_groups = _shape_fallback(ref, used, ours_flat, raw,
+                                             missing)
+        if verbose:
+            amb = [g for g in assign_groups if not g["forced"]]
+            print(f"shape fallback: {len(missing)} unmatched slots, "
+                  f"{len(amb)} ambiguous group(s) "
+                  f"{[tuple(g['paths']) for g in amb]}")
     cells = _lstm_cells(ours_flat)
     head_dims = (cfg.num_mixtures, cfg.frame_size)
+
+    def materialize_raw(assign):
+        """Current raw assignment under the searched group choices.
+        assign: {group_idx: tuple sel} where sel[i] = index into the
+        group's refs for its i-th path."""
+        if not assign:
+            return raw
+        r2 = dict(raw)
+        for gi, sel in assign.items():
+            grp = assign_groups[gi]
+            for i, path in enumerate(grp["paths"]):
+                r2[path] = ref[grp["refs"][sel[i]]]
+        return r2
 
     # one jitted probe reused for every candidate (the search runs
     # dozens of evaluations; per-candidate recompiles would dominate)
@@ -148,9 +242,9 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
     norm = {k: jnp.asarray(v) for k, v in trace_norm.items()}
     probe = jax.jit(lambda p: probe_activations(model, p, norm, batch))
 
-    def evaluate(cell_perms, transposed, head_perm):
-        flat = _materialize(ours_flat, raw, cell_perms, transposed,
-                            head_perm, head_dims)
+    def evaluate(cell_perms, transposed, head_perm, assign=None):
+        flat = _materialize(ours_flat, materialize_raw(assign or {}),
+                            cell_perms, transposed, head_perm, head_dims)
         params = unflatten_like(params_template, flat)
         rep = report_against(ref_acts, probe(params))
         div = first_divergence(rep, tol=tol)
@@ -184,6 +278,15 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
                 if _stage_index(name) < cut]
         return max(errs) if errs else 0.0
 
+    def assign_report(assign) -> Dict[str, str]:
+        """Final path -> archive-name mapping of the fallback groups."""
+        out = {}
+        for gi, grp in enumerate(assign_groups):
+            sel = (assign or {}).get(gi, tuple(range(len(grp["paths"]))))
+            for i, path in enumerate(grp["paths"]):
+                out[path] = grp["refs"][sel[i]]
+        return out
+
     # ---- stage A: global gate-order search (the overwhelmingly likely
     # single unknown — one library convention for every cell).
     # IMPORTANT: a near-linear regime (small pre-activations — tiny
@@ -212,6 +315,8 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
         p, params, rep = clean
         pin = {"gate_perm": list(p), "cell_perms": {},
                "transposed": [], "head_perm": [0, 1, 2]}
+        if assign_groups:
+            pin["assignment"] = assign_report({})
         return params, pin, rep
 
     # ---- stage B: oracle-guided per-stage refinement. Fix the first
@@ -222,13 +327,14 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
     # reordered head layout shows no improvement from either fix alone.
     _, gp, cell_perms, transposed, head_perm, params, rep, div = best
     cell_perms = dict(cell_perms)
+    assign: Dict[int, Tuple[int, ...]] = {}
     STAGE_TENSORS = {"embed": ["embed/table"],
                      "phi": ["attn/proj/w", "attn/proj/b"],
                      "w": ["attn/proj/w", "attn/proj/b"],
                      "readout": ["readout/w", "readout/b"],
                      "head_raw": ["head/w", "head/b"]}
 
-    for _ in range(2 + len(cells)):
+    for _ in range(2 + len(cells) + len(assign_groups)):
         if not div:
             break
         if div == "enc":
@@ -245,9 +351,15 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
             # case, this re-opens it jointly with orientation choices)
             axes.append([("perm", tuple(stage_cells), p)
                          for p in itertools.permutations(range(4))])
-        for path in (STAGE_TENSORS.get(div, [])
-                     + [f"{c}/{t}" for c in stage_cells
-                        for t in ("wx", "wh")]):
+        stage_paths = (STAGE_TENSORS.get(div, [])
+                       + [f"{c}/{t}" for c in stage_cells
+                          for t in _GATE_TENSORS])
+        if stage_cells and stage_cells[0].startswith("dec"):
+            # speaker embeddings feed the decoder's hoisted gates
+            stage_paths.append("speaker/table")
+        for path in stage_paths:
+            if path.endswith("/b") or path.endswith("table"):
+                continue  # 1-D / embedding: no orientation choice
             a = raw.get(path)
             if (a is not None and a.ndim == 2
                     and a.shape[0] == a.shape[1]):
@@ -256,6 +368,19 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
         if div == "head_raw":
             axes.append([("head", None, hp)
                          for hp in itertools.permutations(range(3))])
+        # shape-fallback assignment axes: any ambiguous group with a
+        # tensor feeding this stage re-opens its (k-)permutations — the
+        # oracle resolves them jointly with the conventions above
+        # (VERDICT r3 weak #5)
+        for gi, grp in enumerate(assign_groups):
+            if grp["forced"]:
+                continue
+            if not any(p in stage_paths for p in grp["paths"]):
+                continue
+            n_p, n_r = len(grp["paths"]), len(grp["refs"])
+            axes.append([("assign", gi, sel)
+                         for sel in itertools.permutations(range(n_r),
+                                                           n_p)])
         n_combos = int(np.prod([len(a) for a in axes])) if axes else 0
         if n_combos == 0 or n_combos > 5000:
             break  # nothing searchable / unbounded -> report divergence
@@ -270,6 +395,7 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
         improved = None
         for combo in itertools.product(*axes):
             cp2, tr2, hp2 = dict(cell_perms), set(transposed), head_perm
+            as2 = dict(assign)
             for kind, tgt, val in combo:
                 if kind == "perm":
                     for c in tgt:
@@ -278,20 +404,23 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
                     tr2.discard(tgt)
                     if val:
                         tr2.add(tgt)
+                elif kind == "assign":
+                    as2[tgt] = val
                 else:
                     hp2 = val
-            params2, rep2, div2 = evaluate(cp2, frozenset(tr2), hp2)
+            params2, rep2, div2 = evaluate(cp2, frozenset(tr2), hp2, as2)
             k2 = full_key(rep2, div2)
             if k2 > cur_key:
-                improved = (cp2, frozenset(tr2), hp2, params2, rep2,
-                            div2)
+                improved = (cp2, frozenset(tr2), hp2, as2, params2,
+                            rep2, div2)
                 if verbose:
                     print(f"refine {div}: {combo} -> first_divergence="
                           f"{div2 or f'CLEAN ({worst_err(rep2):.3g})'}")
                 cur_key = k2
         if improved is None:
             break
-        cell_perms, transposed, head_perm, params, rep, div = improved
+        (cell_perms, transposed, head_perm, assign, params, rep,
+         div) = improved
 
     if div:
         raise ValueError(
@@ -304,4 +433,6 @@ def auto_pin(archive_path: str, model, params_template, trace_path: str,
                           if tuple(p) != tuple(gp)},
            "transposed": sorted(transposed),
            "head_perm": list(head_perm)}
+    if assign_groups:
+        pin["assignment"] = assign_report(assign)
     return params, pin, rep

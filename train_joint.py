@@ -191,7 +191,23 @@ def main(argv=None):
         sys.exit(f"vocoder hop {vcfg.hop} != corpus audio hop "
                  f"{corpus.audio_hop}")
 
-    model = Char2Wav(pcfg, vcfg)
+    mesh = make_mesh(a.num_devices)
+    n_dev = mesh.devices.size
+    # This entry's train step is a plain GSPMD jit, where a pallas_call
+    # is only safe single-device (multi-device GSPMD would replicate its
+    # operands instead of partitioning them — models.parrot
+    # resolve_pallas_scan). Resolve AUTO here; a checkpointed
+    # pallas_scan=True is demoted on multi-device meshes for the same
+    # reason.
+    from parrot_tpu.models.parrot import resolve_pallas_scan
+    if n_dev == 1:
+        ps_run = resolve_pallas_scan(pcfg, a.batch_size)
+    else:
+        ps_run = False
+        if pcfg.pallas_scan:
+            print(f"[joint] pallas_scan disabled: this entry's GSPMD step "
+                  f"cannot host single-device kernels on {n_dev} devices")
+    model = Char2Wav(dataclasses.replace(pcfg, pallas_scan=ps_run), vcfg)
     if p_params is None or v_params is None:
         # jit: one compiled program, not per-op eager tunnel round trips
         params = jax.jit(model.init_params)(key)
@@ -212,8 +228,6 @@ def main(argv=None):
                        eval_every=a.eval_every, log_every=a.log_every,
                        seed=a.seed, num_devices=a.num_devices)
 
-    mesh = make_mesh(a.num_devices)
-    n_dev = mesh.devices.size
     if a.batch_size % n_dev:
         sys.exit(f"batch_size {a.batch_size} not divisible by "
                  f"{n_dev} devices")
