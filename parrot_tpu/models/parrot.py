@@ -350,6 +350,57 @@ class Parrot:
             metrics["pred_frames"] = pred_raw.transpose(1, 0, 2)
         return loss, new_state, metrics
 
+    def scan_plan(self, B: int, U: int):
+        """Which implementation the decoder scan selects at data shapes
+        (B, U): returns (use_pallas, n_split, label). Exactly the logic
+        scan_decoder applies at trace time, exposed so perf tooling can
+        report the selected path per shape (docs/PERFORMANCE.md round-4
+        shape table). Labels: 'pallas' / 'pallas-splitN' (batch slabs) /
+        'lax-split' (hand-VJP lax.scan) / 'autodiff-scan'.
+
+        Feasibility: the pallas kernel holds the (B, U, E) encoder
+        block plus ~26 MB of weights VMEM-resident — whether it fits
+        depends on the data shapes (pallas_scan_fits estimates both
+        passes; past B=256 or very long text it cannot). Batch-split:
+        when the full B overflows the plan (e.g. B=512 flagship), the
+        SAME kernel runs over n_split independent batch slabs — rows
+        are independent through the whole scan, so results/gradients
+        concatenate exactly; one compile (identical slab shapes)."""
+        cfg = self.cfg
+        if (not cfg.split_backward or cfg.layer_norm or cfg.stacked_scan
+                or cfg.remat_scan):
+            return False, 0, "autodiff-scan"
+        res_dtype = (jnp.bfloat16 if cfg.scan_residual_dtype == "bfloat16"
+                     else jnp.float32)
+        from parrot_tpu.ops.fused_train_scan import pallas_scan_fits
+
+        def fits(b):
+            return (b % 8 == 0 and pallas_scan_fits(
+                b, U, L=self.L, H=self.H, K=self.K, E=self.E,
+                res_bytes=jnp.dtype(res_dtype).itemsize))
+
+        n_split = 0
+        if self.H % 128 == 0 and self.E % 128 == 0:
+            for s in (1, 2, 4):
+                if B % s == 0 and fits(B // s):
+                    n_split = s
+                    break
+        # the model never auto-decides pallas (resolve_pallas_scan is
+        # the single source of truth, applied by the caller); None is
+        # OFF so an unresolved config cannot put a pallas_call inside a
+        # multi-device GSPMD jit
+        if jax.default_backend() == "tpu":
+            use_pallas = cfg.pallas_scan is True and n_split > 0
+        else:
+            # non-TPU backends run the interpreter — only when
+            # explicitly requested (tests pin exactness there)
+            use_pallas = cfg.pallas_scan is True
+            n_split = n_split or 1
+        if not use_pallas:
+            return False, 1, "lax-split"
+        label = "pallas" if n_split == 1 else f"pallas-split{n_split}"
+        return True, n_split, label
+
     def scan_decoder(self, params, state: DecoderState, x_in, mask,
                      text_mask, spk=None, with_intermediates: bool = False):
         """Run the decoder over a teacher-forced segment.
@@ -386,41 +437,9 @@ class Parrot:
                          else jnp.float32)
             B = x_in.shape[1]
             U = text_mask.shape[1]
-            on_tpu = jax.default_backend() == "tpu"
-            # feasibility: the kernel holds the (B, U, E) encoder block
-            # plus ~26 MB of weights VMEM-resident — whether it fits
-            # depends on the data shapes (pallas_scan_fits estimates
-            # both passes; past B=256 or very long text it cannot)
+            use_pallas, n_split, _ = self.scan_plan(B, U)
             from parrot_tpu.ops.fused_train_scan import (
-                make_pallas_decoder_scan, pallas_scan_fits)
-
-            def fits(b):
-                return (b % 8 == 0 and pallas_scan_fits(
-                    b, U, L=self.L, H=self.H, K=self.K, E=self.E,
-                    res_bytes=jnp.dtype(res_dtype).itemsize))
-
-            # batch-split: when the full B overflows the kernel's VMEM
-            # plan (e.g. B=512 flagship), run the SAME kernel over
-            # n_split independent batch slabs — rows are independent
-            # through the whole scan, so results/gradients concatenate
-            # exactly; one compile (identical slab shapes)
-            n_split = 0
-            if self.H % 128 == 0 and self.E % 128 == 0:
-                for s in (1, 2, 4):
-                    if B % s == 0 and fits(B // s):
-                        n_split = s
-                        break
-            # the model never auto-decides pallas (resolve_pallas_scan
-            # is the single source of truth, applied by the caller);
-            # None is OFF so an unresolved config cannot put a
-            # pallas_call inside a multi-device GSPMD jit
-            if on_tpu:
-                use_pallas = cfg.pallas_scan is True and n_split > 0
-            else:
-                # non-TPU backends run the interpreter — only when
-                # explicitly requested (tests pin exactness there)
-                use_pallas = cfg.pallas_scan is True
-                n_split = n_split or 1
+                make_pallas_decoder_scan)
             if use_pallas:
                 # fused Pallas fwd/bwd scan kernels: weights + enc block
                 # VMEM-resident across all T steps

@@ -51,16 +51,25 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="bfloat16: stream the encoder block at bf16 "
                         "through the scan (ModelConfig.scan_enc_dtype)")
-    p.add_argument("--scan_residual_dtype", default="float32",
+    p.add_argument("--scan_residual_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="bfloat16: store the split-backward gate "
-                        "residuals at bf16 (ModelConfig)")
+                        "residuals at bf16 (ModelConfig; matches the "
+                        "production default)")
     p.add_argument("--remat_head", action="store_true",
                    help="recompute the GMM NLL intermediates in the "
                         "backward (ModelConfig.remat_head)")
-    p.add_argument("--split_backward", action="store_true",
+    # default True to MATCH ModelConfig — this script measures the
+    # production step unless a knob is explicitly flipped (round 4: the
+    # old store_true default silently timed the legacy autodiff path)
+    p.add_argument("--split_backward", dest="split_backward",
+                   action="store_true", default=True,
                    help="hand-written decoder-scan VJP with post-hoc "
-                        "weight-grad GEMMs (ModelConfig.split_backward)")
+                        "weight-grad GEMMs (ModelConfig.split_backward; "
+                        "default ON like the production config)")
+    p.add_argument("--no_split_backward", dest="split_backward",
+                   action="store_false",
+                   help="legacy autodiff scan path")
     p.add_argument("--stacked_scan", action="store_true",
                    help="one stacked GEMM per decoder layer in the scan "
                         "body (ModelConfig.stacked_scan)")
@@ -137,6 +146,8 @@ def main():
     out = {
         "batch_size": B,
         "seq_size": S,
+        "max_text_len": U,
+        "decoder_scan_path": model.scan_plan(B, U)[2],
         "flops_per_step": flops,
         "bytes_accessed_per_step": bytes_,
         "arithmetic_intensity": ai,

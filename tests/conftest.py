@@ -29,3 +29,5 @@ def pytest_configure(config):
         "markers",
         "slow: long-running test (full tier only; deselect with "
         "-m 'not slow')")
+    config.addinivalue_line(
+        "markers", "timeout(seconds): advisory per-test budget")

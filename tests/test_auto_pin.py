@@ -201,6 +201,7 @@ def test_generalized_default_map_covers_any_depth():
     assert covered == set(flat)
 
 
+@pytest.mark.slow
 def test_cli_auto_pin_roundtrip(tmp_path):
     """scripts/import_checkpoint.py --auto_pin: scrambled archive +
     trace + corpus in, pinned parrot-tpu checkpoint out, conventions

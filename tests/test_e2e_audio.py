@@ -9,6 +9,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # real WORLD analysis + training end-to-end
+
 from parrot_tpu.config import (DataConfig, ModelConfig, ParrotConfig,
                                TrainConfig, SampleConfig)
 from parrot_tpu.data import H5Corpus, make_audio_fixture_corpus

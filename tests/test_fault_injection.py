@@ -12,6 +12,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # SIGTERMs a live train.py subprocess
+
 from parrot_tpu.data import make_fixture_corpus
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -33,6 +33,7 @@ def _host_uniforms(T=256, B=16, D=7, seed=7):
         1e-7, 1.0 - 1e-7, size=(T, B, M + 2 * D)).astype(np.float32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bias", [0.0, 1.0])
 def test_kernel_gmm_sampling_distribution(bias):
     samples = draw_kernel_samples(bias, uniforms=_host_uniforms(),

@@ -7,7 +7,11 @@ when enough devices exist (inline) and when they don't (subprocess
 re-exec onto a fake CPU mesh, SURVEY.md §4 "Multi-chip without a pod").
 """
 
+import pytest
+
 import __graft_entry__ as graft
+
+pytestmark = pytest.mark.slow  # full 7-leg dryrun, ~2.5 min
 
 
 def test_dryrun_multichip_inline_8_devices():

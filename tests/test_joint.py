@@ -162,6 +162,7 @@ def test_pred_frames_gmm_single_component_is_mu(audio_corpus):
 # gradient flow across the conditioning boundary
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_joint_gradients_reach_reader_and_detach_ablation(audio_corpus):
     model = _small_model(audio_corpus)
     params = model.init_params(jax.random.PRNGKey(2))
@@ -193,6 +194,7 @@ def test_joint_gradients_reach_reader_and_detach_ablation(audio_corpus):
 # exact joint TBPTT carry
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_joint_two_segments_match_full(audio_corpus):
     """Summed (unreduced) losses over two half segments with carried
     JointState == one full segment, for both halves of the objective."""
@@ -233,6 +235,7 @@ def test_joint_two_segments_match_full(audio_corpus):
 # CLI: fresh joint train -> resume -> exported halves drive generate
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_cli_train_joint_export_and_generate(tmp_path, audio_corpus):
     from tests.util_env import cpu_env
     env = cpu_env()
@@ -285,6 +288,7 @@ def test_cli_train_joint_export_and_generate(tmp_path, audio_corpus):
     assert wavs, r3.stdout
 
 
+@pytest.mark.slow
 def test_cli_train_joint_from_pretrained_halves(tmp_path, audio_corpus):
     """--parrot_init/--vocoder_init load pretrained halves (constructed
     checkpoints: the loading path is what's under test)."""
@@ -327,6 +331,7 @@ def test_cli_train_joint_from_pretrained_halves(tmp_path, audio_corpus):
     assert cfg["parrot"]["model"]["rnn_h_dim"] == model.pcfg.rnn_h_dim
 
 
+@pytest.mark.slow
 def test_resume_keeps_init_norm_and_mismatched_vocoder_rejected(
         tmp_path, audio_corpus):
     """Two review-fix pins: (a) --resume restores the norm stats saved

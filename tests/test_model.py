@@ -59,6 +59,7 @@ def test_cost_runs_and_is_finite(model_and_params):
     assert float(metrics["frames"]) == 3 * 8 - 3
 
 
+@pytest.mark.slow
 def test_tbptt_two_segments_equals_full(model_and_params):
     """Core TBPTT contract: full-sequence cost == carried two-segment cost
     (SURVEY.md §7 hard part 4)."""
@@ -90,6 +91,7 @@ def test_tbptt_two_segments_equals_full(model_and_params):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_start_flag_resets_state(model_and_params):
     model, params = model_and_params
     rng = np.random.default_rng(2)
@@ -103,6 +105,7 @@ def test_start_flag_resets_state(model_and_params):
                                np.array(st_dirty.kappa), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_matches_stepwise_sample_step(model_and_params):
     """Pallas-style parity harness: the training scan and the generation
     step function must compute identical head outputs when fed the same
@@ -134,6 +137,7 @@ def test_scan_matches_stepwise_sample_step(model_and_params):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_speaker_conditioning_changes_output():
     cfg = tiny_cfg(use_speaker=True, num_speakers=4, speaker_dim=5)
     model = Parrot(cfg)
@@ -147,6 +151,7 @@ def test_speaker_conditioning_changes_output():
     assert abs(float(l0) - float(l1)) > 1e-6
 
 
+@pytest.mark.slow
 def test_mse_cost_path():
     cfg = tiny_cfg(which_cost="MSE")
     model = Parrot(cfg)
@@ -157,6 +162,7 @@ def test_mse_cost_path():
     assert np.isfinite(float(loss)) and float(loss) > 0
 
 
+@pytest.mark.slow
 def test_grads_finite_and_nonzero(model_and_params):
     model, params = model_and_params
     rng = np.random.default_rng(6)
@@ -175,6 +181,7 @@ def test_grads_finite_and_nonzero(model_and_params):
         assert any(float(jnp.abs(x).max()) > 0 for x in sub), name
 
 
+@pytest.mark.slow
 def test_normalization_applied_on_device(model_and_params):
     model, params = model_and_params
     rng = np.random.default_rng(7)
@@ -190,6 +197,7 @@ def test_normalization_applied_on_device(model_and_params):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_stacked_encoder_layers():
     cfg = tiny_cfg(encoder_layers=2)
     model = Parrot(cfg)
@@ -207,6 +215,7 @@ def test_stacked_encoder_layers():
                    for x in jax.tree.leaves(g["enc_fwd"][l])) > 0
 
 
+@pytest.mark.slow
 def test_remat_scan_matches_plain():
     """remat_scan trades memory for recompute; loss and grads must be
     identical to the plain scan."""
@@ -230,6 +239,7 @@ def test_remat_scan_matches_plain():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_stacked_scan_matches_plain():
     """stacked_scan fuses each layer's scan-body dots into one GEMM
     against the row-stacked weights; loss and grads must match the
@@ -257,6 +267,7 @@ def test_stacked_scan_matches_plain():
                                        rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_layer_norm_paths():
     """layer_norm=True exercises the LN branches in cells and encoder:
     cost + grads finite, sampler falls back off the fused kernel."""
@@ -280,6 +291,7 @@ def test_layer_norm_paths():
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_scan_unroll_equivalence():
     rng = np.random.default_rng(13)
     batch = make_batch(rng)
@@ -293,6 +305,7 @@ def test_scan_unroll_equivalence():
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_streaming_knobs_grad_parity():
     """scan_weight_dtype / scan_enc_dtype = bfloat16 stream materialized
     bf16 copies through the scan (a train-step HBM-traffic lever,
@@ -329,6 +342,7 @@ def test_bf16_streaming_knobs_grad_parity():
     assert st.enc.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_split_backward_grad_parity():
     """ModelConfig.split_backward (hand-written decoder-scan + encoder
     VJPs, models/scan_vjp.py + nn/recurrent.lstm_scan_split) and

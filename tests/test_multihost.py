@@ -19,6 +19,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # real 2-process gloo clusters (~4 min)
+
 from parrot_tpu.config import DataConfig
 from parrot_tpu.data import H5Corpus, make_fixture_corpus, parrot_stream
 from parrot_tpu.parallel import (batch_sharding, make_mesh, stage_global,

@@ -40,8 +40,12 @@ def _loss(fn, mask, text_mask):
     return go
 
 
-@pytest.mark.parametrize("L,T,chunk", [(3, 6, 2), (3, 5, 2), (1, 7, 4),
-                                       (2, 6, 3)])
+@pytest.mark.parametrize("L,T,chunk", [
+    pytest.param(3, 6, 2, marks=pytest.mark.slow),
+    pytest.param(3, 5, 2, marks=pytest.mark.slow),
+    pytest.param(1, 7, 4, marks=pytest.mark.slow),
+    (2, 6, 3),  # the fast-tier representative: L=2, T % chunk != 0
+])
 def test_pallas_scan_matches_split(L, T, chunk):
     """Forward values, final carry, and every input gradient match the
     lax.scan split path (f32 residuals) — including T not divisible by
@@ -83,6 +87,7 @@ def test_pallas_scan_bf16_residuals_close():
         assert float(np.abs(a - b).max()) / denom < 2e-2
 
 
+@pytest.mark.slow
 def test_pallas_scan_bf16_enc_close():
     """The VMEM planner may drop the encoder block to bf16 for long
     text (plan_pass); forward context and gradients stay within the
@@ -196,6 +201,7 @@ def test_pallas_lstm_scan_carried_state_and_full_mask():
                                    atol=2e-6)
 
 
+@pytest.mark.slow
 def test_shard_map_trainer_matches_single_device(tmp_path):
     """pallas_scan on a multi-device mesh runs through the shard_map
     per-device step (each device's pallas_call sees only its local batch
@@ -245,6 +251,7 @@ def test_shard_map_trainer_matches_single_device(tmp_path):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_shard_map_trainer_eval_and_resume(tmp_path):
     """The shard_map trainer's eval path and checkpoint/resume behave
     exactly like the GSPMD trainer's."""
@@ -283,6 +290,7 @@ def test_shard_map_trainer_eval_and_resume(tmp_path):
     assert t2.step == 6
 
 
+@pytest.mark.slow
 def test_model_level_batch_split_parity(monkeypatch):
     """When the full batch overflows the kernel's VMEM plan, the model
     runs the SAME kernel over independent batch slabs; loss and grads
@@ -337,6 +345,7 @@ def test_model_level_batch_split_parity(monkeypatch):
                                    atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_level_pallas_scan_parity():
     """Parrot.compute_cost value and parameter gradients agree between
     pallas_scan on (interpret) and off, on a tiny aligned-enough model

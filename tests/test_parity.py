@@ -92,6 +92,7 @@ def test_diff_localizes_decoder_layer(tmp_path):
     assert first_divergence(report, tol=1e-4) == "dec_h2"
 
 
+@pytest.mark.slow
 def test_cli_dump_and_diff(tmp_path):
     """scripts/import_checkpoint.py --dump_trace / --diff on a real
     checkpoint directory; exit 0 on parity, nonzero on a broken map."""

@@ -4,6 +4,7 @@ determinism, bucketing, denormalization."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from parrot_tpu.config import ModelConfig, SampleConfig
 from parrot_tpu.models import Parrot
@@ -29,6 +30,7 @@ def norm(D, mean=0.0, std=1.0):
     return {"mean": jnp.full((D,), mean), "std": jnp.full((D,), std)}
 
 
+@pytest.mark.slow
 def test_generate_shapes_and_cap():
     model, params = build()
     s = Sampler(model, params, norm(5), SampleConfig(max_steps=12, seed=1))

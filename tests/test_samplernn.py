@@ -87,6 +87,7 @@ def test_init_loss_is_uniform_entropy(tiny):
     assert abs(float(metrics["bits_per_sample"]) - 8.0) < 0.1
 
 
+@pytest.mark.slow
 def test_tbptt_carry_full_equals_segments(tiny):
     cfg, model, params, norm = tiny
     B, Sc = 3, 4
@@ -130,6 +131,7 @@ def test_grads_finite(tiny):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_generate_shapes_determinism_and_mask(tiny):
     cfg, model, params, norm = tiny
     B, Sc = 3, 4
@@ -155,6 +157,7 @@ def test_generate_shapes_determinism_and_mask(tiny):
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
+@pytest.mark.slow
 def test_overfit_memorizes_waveform():
     """One short fixed waveform + constant conditioning: the model must
     drive teacher-forced NLL far below uniform and reproduce the
@@ -256,6 +259,7 @@ def test_vocoder_stream_skip_segments_matches(audio_corpus):
 # CLI end-to-end: train_vocoder.py then generate.py --neural_vocoder
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_cli_train_and_neural_generate(tmp_path, audio_corpus):
     from tests.util_env import cpu_env
     env = cpu_env()
@@ -370,6 +374,7 @@ def test_fused_vocoder_weight_tuple_and_lut():
                                     cfg.quantization)))
 
 
+@pytest.mark.slow
 def test_vocoder_dp_step_matches_single_device(tiny):
     """SURVEY.md §4 'multi-chip without a pod' for the vocoder trainer:
     one train step on the 8-device DP mesh (batch sharded, params
@@ -408,6 +413,7 @@ def test_vocoder_dp_step_matches_single_device(tiny):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_neural_vocoder_report_runs(audio_corpus):
     """evaluate.neural_vocoder_report: finite MCDs, WORLD baseline
     included, bits/sample near 8 for an untrained model."""
@@ -426,6 +432,7 @@ def test_neural_vocoder_report_runs(audio_corpus):
     assert abs(rep["valid_bits_per_sample"] - 8.0) < 0.3  # untrained
 
 
+@pytest.mark.slow
 def test_fused_vocoder_sharded_matches_single(tiny):
     """shard_map'd fused serving (one kernel per device, interpret) must
     equal the unsharded greedy kernel — incl. a ragged batch padded up
@@ -472,6 +479,7 @@ def test_vocoder_stream_process_sharding_matches_global(audio_corpus):
                         gv[pi * per:(pi + 1) * per], lv)
 
 
+@pytest.mark.slow
 def test_vocoder_sigterm_flushes_checkpoint_and_resumes(tmp_path,
                                                         audio_corpus):
     """Preemption contract: SIGTERM mid-training flushes a checkpoint
@@ -541,6 +549,7 @@ def _spk_setup(seed=11):
     return cfg, model, params, norm
 
 
+@pytest.mark.slow
 def test_speaker_conditioning_changes_output_and_cost():
     cfg, model, params, norm = _spk_setup()
     rng = np.random.default_rng(0)
@@ -600,6 +609,7 @@ def test_vocoder_stream_carries_speaker(audio_corpus):
         seg.speaker, [audio_corpus.speaker(i) for i in idx])
 
 
+@pytest.mark.slow
 def test_joint_gradients_reach_speaker_embedding(audio_corpus):
     """Joint fine-tuning with a speaker-conditioned vocoder: the audio
     NLL must reach the vocoder's speaker table."""

@@ -9,6 +9,7 @@ the hardware PRNG paths are covered on-chip by scripts/tpu_checks.py.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from parrot_tpu.config import ModelConfig, SampleConfig, SampleRNNConfig
 from parrot_tpu.models import Parrot, SampleRNN
@@ -38,6 +39,7 @@ def _stream_all(syn, text, mask, frame_chunk, max_steps):
     return chunks, audio, frames
 
 
+@pytest.mark.slow
 def test_chunked_equals_one_shot_deterministic():
     """Two F=8 chunks == one F=16 chunk, bit-for-bit (MSE head + greedy
     f32 vocoder: fully deterministic, so any state-carry error shows)."""
@@ -151,6 +153,7 @@ def test_stream_renormalizes_for_vocoder_stats_and_caps_exactly():
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_streaming_matches_single_device():
     """VERDICT r2 next-step #6: streaming under a multi-chip mesh.
     B rows split over an 8-device virtual mesh with per-shard carried

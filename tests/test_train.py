@@ -91,6 +91,7 @@ def small_cfg(path, tmp_path, ndev=1, **train_kw):
     return ParrotConfig(model=model, data=data, train=TrainConfig(**tr))
 
 
+@pytest.mark.slow
 def test_dp_grads_match_single_device(fixture_corpus, tmp_path):
     """SURVEY.md §4: 8-device DP step must equal the single-device step."""
     corpus = H5Corpus(fixture_corpus)
@@ -106,6 +107,7 @@ def test_dp_grads_match_single_device(fixture_corpus, tmp_path):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_overfit_fixture_and_resume(fixture_corpus, tmp_path):
     """End-to-end: loss drops on the fixture; checkpoint resume restores
     identical params and continues."""
@@ -134,6 +136,7 @@ def test_overfit_fixture_and_resume(fixture_corpus, tmp_path):
     assert tr2.step == 302
 
 
+@pytest.mark.slow
 def test_multispeaker_training_and_alignment_dump(tmp_path):
     """Config-4 shape (VCTK-style multi-speaker) + alignment dump path."""
     import json as _json
@@ -167,6 +170,7 @@ def test_multispeaker_training_and_alignment_dump(tmp_path):
     assert valid[-1]["valid_loss"] < 9.0  # started ~5.5*D/6... learning
 
 
+@pytest.mark.slow
 def test_exact_resume_continues_training_bitwise(fixture_corpus, tmp_path):
     """Checkpointed stream position + TBPTT carry: split training must
     reproduce straight-through training exactly."""
@@ -190,6 +194,7 @@ def test_exact_resume_continues_training_bitwise(fixture_corpus, tmp_path):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+@pytest.mark.slow
 def test_preemption_flag_checkpoints_and_stops(fixture_corpus, tmp_path):
     """SIGTERM-style preemption: loop exits promptly and flushes a
     checkpoint that resume() picks up."""
@@ -213,6 +218,7 @@ def test_preemption_flag_checkpoints_and_stops(fixture_corpus, tmp_path):
     assert t2.resume() and t2.step == res["step"]
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint_without_dstate(fixture_corpus, tmp_path):
     """Importer-written checkpoints carry no dstate; resume must fall back
     instead of crashing (code-review regression)."""
