@@ -85,6 +85,25 @@ class ModelConfig:
                                        # throughput with split_backward
                                        # — docs/PERFORMANCE.md).
                                        # "float32" for bit-strict grads
+    head_dtype: str = "float32"        # "bfloat16": run the post-scan
+                                       # readout/head GEMMs (fwd AND the
+                                       # two transpose GEMMs each in the
+                                       # backward) with bf16 operands /
+                                       # f32 accumulation. The epilogue
+                                       # is MXU-COMPUTE-bound at f32
+                                       # (~170 GFLOP per step at B=256:
+                                       # (T*B,1792)@(1792,512) +
+                                       # (T*B,512)@(512,2540) x3 for
+                                       # fwd/dX/dW) — bf16 runs them at
+                                       # ~4x the f32 MXU rate on v5e.
+                                       # ~1e-2 relative grad rounding,
+                                       # same envelope as
+                                       # scan_weight_dtype (measured:
+                                       # docs/PERFORMANCE.md round 4).
+                                       # Applies to the split-backward
+                                       # hoisted epilogue only (the
+                                       # per-step paths follow
+                                       # compute_dtype)
     remat_head: bool = False           # recompute the GMM NLL (and its
                                        # (T,B,M,D) intermediates) in the
                                        # backward instead of saving them

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from parrot_tpu.config import ModelConfig
-from parrot_tpu.nn.core import Linear, Embedding, _cast
+from parrot_tpu.nn.core import Linear, Embedding, _cast, bf16_matmul
 from parrot_tpu.nn.recurrent import LSTMCell, bidirectional_lstm
 from parrot_tpu.nn.attention import GravesWindow
 from parrot_tpu.nn.mdn import gmm_nll, gmm_sample, split_gmm_params, mse_cost
@@ -479,9 +479,21 @@ class Parrot:
                 hs, kappa, w = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs, axis=0),
                     *[o[2] for o in outs])
-            readouts = jnp.tanh(Linear.apply(params["readout"], feats,
-                                             dt))
-            raw = Linear.apply(params["head"], readouts, dt)
+            if cfg.head_dtype == "bfloat16":
+                # epilogue GEMMs are MXU-compute-bound at f32; run all
+                # six (readout/head x fwd/dX/dW) at bf16 operands with
+                # f32 accumulation (nn.core.bf16_matmul custom_vjp —
+                # plain autodiff would promote the transpose GEMMs
+                # back to f32). Bias adds + tanh + NLL stay f32.
+                readouts = jnp.tanh(
+                    bf16_matmul(feats, params["readout"]["w"])
+                    + params["readout"]["b"])
+                raw = (bf16_matmul(readouts, params["head"]["w"])
+                       + params["head"]["b"])
+            else:
+                readouts = jnp.tanh(Linear.apply(params["readout"],
+                                                 feats, dt))
+                raw = Linear.apply(params["head"], readouts, dt)
             new_state = DecoderState(hs=hs, kappa=kappa, w=w,
                                      enc=state.enc, x_last=state.x_last)
             return raw, new_state, phis

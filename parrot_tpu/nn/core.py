@@ -58,6 +58,44 @@ class Linear:
         return y
 
 
+@jax.custom_vjp
+def bf16_matmul(x, w):
+    """(N, I) @ (I, O) with BOTH the forward and the two backward GEMMs
+    forced to bf16 operands (f32 accumulation via preferred_element_type).
+
+    Plain autodiff of `dot(x.astype(bf16), w.astype(bf16))` runs the
+    forward at bf16 but PROMOTES the transpose GEMMs back to f32: the
+    cotangent arrives f32, and the grad rule's mixed bf16xf32 dot
+    upcasts — so dW = x^T @ dy and dx = dy @ w^T pay full f32 MXU rate
+    (~4x the bf16 rate on v5e). This wrapper casts the cotangent to
+    bf16 once, making all three GEMMs bf16-in/f32-out. Rounding: one
+    bf16 quantization of x/w/dy per GEMM (~1e-2 relative), same
+    envelope as scan_weight_dtype=bfloat16 (docs/PERFORMANCE.md).
+    """
+    return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _bf16_matmul_fwd(x, w):
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    y = jnp.dot(xb, wb, preferred_element_type=jnp.float32)
+    return y, (xb, wb)
+
+
+def _bf16_matmul_bwd(res, dy):
+    xb, wb = res
+    dyb = dy.astype(jnp.bfloat16)
+    dx = jnp.dot(dyb, wb.T, preferred_element_type=jnp.float32)
+    dw = jnp.dot(xb.reshape(-1, xb.shape[-1]).T,
+                 dyb.reshape(-1, dyb.shape[-1]),
+                 preferred_element_type=jnp.float32)
+    return dx, dw
+
+
+bf16_matmul.defvjp(_bf16_matmul_fwd, _bf16_matmul_bwd)
+
+
 class Embedding:
     """LookupTable: int ids -> vectors."""
 

@@ -54,6 +54,15 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"],
                    help="bfloat16: stream the encoder block at bf16 "
                         "through the decoder scan")
+    p.add_argument("--head_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: run the post-scan readout/head "
+                        "GEMMs (fwd + both transpose GEMMs) with bf16 "
+                        "operands / f32 accumulation (the epilogue is "
+                        "MXU-compute-bound at f32; docs/PERFORMANCE.md)")
+    p.add_argument("--remat_head", action="store_true", default=None,
+                   help="recompute the GMM NLL intermediates in the "
+                        "backward instead of saving them")
     p.add_argument("--pallas_scan", dest="pallas_scan",
                    action="store_true", default=None,
                    help="force the fused Pallas fwd/bwd training "
@@ -174,7 +183,8 @@ def _build_config(args, train_keys) -> ParrotConfig:
         "attention_alignment", "num_mixtures", "use_speaker",
         "num_speakers", "speaker_dim", "layer_norm",
         "feedback_noise_level", "compute_dtype", "remat_scan",
-        "scan_weight_dtype", "scan_enc_dtype", "pallas_scan"])
+        "scan_weight_dtype", "scan_enc_dtype", "head_dtype",
+        "remat_head", "pallas_scan"])
     data = overrides(cfg.data, ["dataset", "data_dir", "batch_size",
                                 "seq_size", "max_text_len", "norm_stats"])
     train = overrides(cfg.train, train_keys)

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--knobs", action="store_true",
                    help="scan_weight_dtype=scan_enc_dtype=bfloat16")
+    p.add_argument("--head_dtype", default=None,
+                   help="override ModelConfig.head_dtype (e.g. bfloat16)")
+    p.add_argument("--remat_head", action="store_true")
     p.add_argument("--cpu", action="store_true")
     a = p.parse_args()
 
@@ -38,6 +41,10 @@ def main():
 
     kw = ({"scan_weight_dtype": "bfloat16", "scan_enc_dtype": "bfloat16"}
           if a.knobs else {})
+    if a.head_dtype:
+        kw["head_dtype"] = a.head_dtype
+    if a.remat_head:
+        kw["remat_head"] = True
     cfg = ModelConfig(**kw)
     # single-device script: resolve pallas AUTO explicitly (the model
     # itself no longer auto-decides — models.parrot.resolve_pallas_scan)

@@ -325,8 +325,10 @@ def test_bf16_streaming_knobs_grad_parity():
     l0, g0 = lossg(tiny_cfg())
     for kw in ({"scan_weight_dtype": "bfloat16"},
                {"scan_enc_dtype": "bfloat16"},
+               {"head_dtype": "bfloat16"},
                {"scan_weight_dtype": "bfloat16",
-                "scan_enc_dtype": "bfloat16"}):
+                "scan_enc_dtype": "bfloat16",
+                "head_dtype": "bfloat16"}):
         l1, g1 = lossg(tiny_cfg(**kw))
         assert abs(float(l1) - float(l0)) < 1e-2 * abs(float(l0)), kw
         rel = jax.tree.map(
