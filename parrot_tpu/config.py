@@ -196,6 +196,20 @@ class TrainConfig:
     debug_nans: bool = False      # jax_debug_nans: fail fast on NaN (slow)
     plot_alignments: bool = False  # dump attention-alignment pngs at eval
     tensorboard: bool = False     # mirror metrics to TensorBoard
+    # Scheduled sampling (exposure-bias fine-tuning; absent in the
+    # reference, whose only mitigation is feedback noise). Implemented
+    # the TPU-parallel way (two-pass "parallel scheduled sampling"
+    # rather than a sequential sample-dependent scan): pass 1 runs the
+    # teacher-forced forward and emits the model's own per-step frames
+    # (stop-gradient), pass 2 trains with each input frame replaced by
+    # the model's frame with probability `rate`. Inputs stay fixed
+    # within the differentiated pass, so the fused Pallas train kernels
+    # and hoisted GEMMs still apply.
+    scheduled_sampling_rate: float = 0.0   # p(input <- model's own frame)
+    scheduled_sampling_mode: str = "sample"  # 'sample' (draw from the GMM)
+                                             # | 'mean' (mixture expectation)
+    scheduled_sampling_bias: float = 1.0   # GMM bias for 'sample' mode
+                                           # (match the eval-time bias)
 
 
 @dataclasses.dataclass(frozen=True)

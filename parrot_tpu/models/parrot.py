@@ -261,7 +261,9 @@ class Parrot:
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
     def compute_cost(self, params, norm, batch, state: Optional[DecoderState],
-                     rng=None, with_predictions: bool = False
+                     rng=None, with_predictions: bool = False,
+                     input_frames=None, prediction_key=None,
+                     prediction_bias: float = 0.0
                      ) -> Tuple[jnp.ndarray, DecoderState, Dict]:
         """Teacher-forced segment cost.
 
@@ -276,7 +278,16 @@ class Parrot:
         sum_m softmax(pi)_m mu_m. This is the conditioning signal for
         Char2Wav joint fine-tuning (models/char2wav.py): gradients of a
         downstream neural-vocoder loss flow through it into every parrot
-        parameter.
+        parameter. With prediction_key set (GMM only), pred_frames is
+        instead a biased DRAW from the per-step mixture
+        (prediction_bias, the eval-time transform) — the scheduled-
+        sampling pass-1 signal, matching free-running generation.
+
+        input_frames (B, S, D) RAW: alternative frames to build the
+        shifted teacher-forcing INPUT from; the cost target stays
+        batch.features. This is how the Trainer's parallel scheduled
+        sampling feeds the model its own pass-1 frames while the loss
+        still scores ground truth (train/loop.py).
         """
         cfg = self.cfg
         B, S, D = batch.features.shape
@@ -301,7 +312,12 @@ class Parrot:
         prev = (batch.prev_frame - norm["mean"]) / norm["std"]
         prev = (1.0 - start) * prev  # raw zeros at start != normalized zeros
         x_tgt = xn.transpose(1, 0, 2)                          # (T, B, D)
-        x_in = jnp.concatenate([prev[None], x_tgt[:-1]], axis=0)
+        if input_frames is not None:
+            fin = (input_frames - norm["mean"]) / norm["std"]
+            f_in = fin.transpose(1, 0, 2)                      # (T, B, D)
+        else:
+            f_in = x_tgt
+        x_in = jnp.concatenate([prev[None], f_in[:-1]], axis=0)
         if cfg.feedback_noise_level > 0 and rng is not None:
             x_in = x_in + cfg.feedback_noise_level * jax.random.normal(
                 rng, x_in.shape, x_in.dtype)
@@ -328,8 +344,21 @@ class Parrot:
             if with_predictions:
                 mu, ls, pi = split_gmm_params(raw, D, cfg.num_mixtures,
                                               cfg.min_log_sigma)
-                w_m = jax.nn.softmax(pi, axis=-1)              # (T, B, M)
-                pred_n = jnp.einsum("tbm,tbmd->tbd", w_m, mu)
+                if prediction_key is not None:
+                    # biased draw per (t, b) — gmm_sample operates on a
+                    # flat batch of (M, D) mixtures
+                    T_, B_ = mu.shape[0], mu.shape[1]
+                    M_ = cfg.num_mixtures
+                    flat = gmm_sample(
+                        prediction_key,
+                        mu.reshape(T_ * B_, M_, D),
+                        ls.reshape(T_ * B_, M_, D),
+                        pi.reshape(T_ * B_, M_),
+                        bias=prediction_bias)
+                    pred_n = flat.reshape(T_, B_, D)
+                else:
+                    w_m = jax.nn.softmax(pi, axis=-1)          # (T, B, M)
+                    pred_n = jnp.einsum("tbm,tbmd->tbd", w_m, mu)
         else:
             cost = mse_cost(x_tgt, raw)
             if with_predictions:

@@ -165,6 +165,30 @@ class Trainer:
     def _build_train_step(self):
         model, norm, tcfg = self.model, self.norm, self.cfg.train
 
+        # Parallel scheduled sampling (exposure-bias fine-tune;
+        # config.TrainConfig docstring): pass 1 is a residual-free
+        # stop-gradient forward producing the model's own per-step
+        # frames; the differentiated pass then trains with each input
+        # frame replaced by the model's with probability `rate`. Inputs
+        # stay fixed within the differentiated pass, so the fused
+        # Pallas kernels / hoisted GEMMs still apply — the TPU-shaped
+        # alternative to a sequential sample-dependent training scan.
+        ss_rate = tcfg.scheduled_sampling_rate
+        ss_model = model.inference_view() if ss_rate > 0 else None
+
+        def ss_inputs(params, dstate, batch, key):
+            k_pred, k_coin = jax.random.split(key)
+            draw = (tcfg.scheduled_sampling_mode == "sample"
+                    and model.cfg.which_cost == "GMM")
+            _, _, m1 = ss_model.compute_cost(
+                params, norm, batch, dstate, with_predictions=True,
+                prediction_key=(k_pred if draw else None),
+                prediction_bias=tcfg.scheduled_sampling_bias)
+            pred = jax.lax.stop_gradient(m1["pred_frames"])  # RAW (B,S,D)
+            coin = jax.random.bernoulli(
+                k_coin, ss_rate, (pred.shape[0], pred.shape[1], 1))
+            return jnp.where(coin, pred, batch.features)
+
         if self._use_shard_map():
             from jax import shard_map
             P, state_spec, batch_spec = self._shard_map_specs()
@@ -175,10 +199,15 @@ class Trainer:
                 # decorrelate feedback noise across batch shards (each
                 # shard draws its own (T, B/ndev, D) noise stream)
                 rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                input_frames = None
+                if ss_rate > 0:
+                    rng, k_ss = jax.random.split(rng)
+                    input_frames = ss_inputs(params, dstate, batch, k_ss)
 
                 def loss_fn(p):
                     loss, new_state, metrics = model.compute_cost(
-                        p, norm, batch, dstate, rng=rng)
+                        p, norm, batch, dstate, rng=rng,
+                        input_frames=input_frames)
                     # local SUM (compute_cost returns the local
                     # frame-mean) so the global mean divides once, after
                     # the allreduce — gradient-identical to the GSPMD
@@ -214,10 +243,15 @@ class Trainer:
             def train_step(params, opt_state, dstate, batch, step):
                 rng = jax.random.fold_in(
                     jax.random.PRNGKey(tcfg.seed + 1), step)
+                input_frames = None
+                if ss_rate > 0:
+                    rng, k_ss = jax.random.split(rng)
+                    input_frames = ss_inputs(params, dstate, batch, k_ss)
 
                 def loss_fn(p):
                     loss, new_state, metrics = model.compute_cost(
-                        p, norm, batch, dstate, rng=rng)
+                        p, norm, batch, dstate, rng=rng,
+                        input_frames=input_frames)
                     return loss, (new_state, metrics)
 
                 (loss, (new_state, metrics)), grads = jax.value_and_grad(

@@ -95,6 +95,19 @@ def train_parse(argv=None) -> ParrotConfig:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--debug_nans", action="store_true", default=None)
+    p.add_argument("--scheduled_sampling_rate", type=float, default=None,
+                   help="p(input frame <- the model's own pass-1 frame): "
+                        "two-pass parallel scheduled sampling for "
+                        "exposure-bias fine-tuning (0 = off, the "
+                        "reference-faithful teacher-forced default)")
+    p.add_argument("--scheduled_sampling_mode", type=str, default=None,
+                   choices=["sample", "mean"],
+                   help="pass-1 frames: biased GMM draw ('sample', "
+                        "matches free-running generation) or mixture "
+                        "expectation ('mean')")
+    p.add_argument("--scheduled_sampling_bias", type=float, default=None,
+                   help="GMM bias for scheduled-sampling draws "
+                        "(match the eval-time --sampling_bias)")
     p.add_argument("--plot_alignments", action="store_true", default=None)
     p.add_argument("--tensorboard", action="store_true", default=None)
     p.add_argument("--resume", action="store_true")
@@ -103,7 +116,8 @@ def train_parse(argv=None) -> ParrotConfig:
         "learning_rate", "grad_clip", "num_steps", "save_every",
         "eval_every", "log_every", "early_stop_patience", "seed",
         "num_devices", "model_name", "save_dir", "debug_nans",
-        "plot_alignments", "tensorboard"])
+        "plot_alignments", "tensorboard", "scheduled_sampling_rate",
+        "scheduled_sampling_mode", "scheduled_sampling_bias"])
     return cfg, args
 
 

@@ -294,3 +294,150 @@ def test_fused_adam_matches_per_leaf():
         for a, b in zip(jax.tree.leaves(p_t), jax.tree.leaves(p_f)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Parallel scheduled sampling (exposure-bias fine-tune; TrainConfig
+# docstring). The reference is pure teacher forcing — these tests pin
+# the new machinery: input_frames plumbing in compute_cost, the
+# stop-gradient pass-1 predictions, and the Trainer integration.
+
+def _one_batch(path, cfg):
+    from parrot_tpu.data import parrot_stream
+    corpus = H5Corpus(path)
+    return corpus, next(iter(parrot_stream(corpus, cfg.data, "train",
+                                           training=False, epochs=1)))
+
+
+def test_compute_cost_input_frames_identity(fixture_corpus, tmp_path):
+    """input_frames == batch.features must reproduce the teacher-forced
+    cost exactly (the rate->0 limit of scheduled sampling)."""
+    from parrot_tpu.models import Parrot
+    cfg = small_cfg(fixture_corpus, tmp_path)
+    corpus, batch = _one_batch(fixture_corpus, cfg)
+    model = Parrot(dataclasses.replace(cfg.model,
+                                       frame_size=corpus.frame_size,
+                                       vocab_size=corpus.vocab_size))
+    params = model.init_params(jax.random.PRNGKey(0))
+    norm = {"mean": jnp.asarray(corpus.mean), "std": jnp.asarray(corpus.std)}
+    l0, st0, _ = model.compute_cost(params, norm, batch, None)
+    l1, st1, _ = model.compute_cost(params, norm, batch, None,
+                                    input_frames=batch.features)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for a, b in zip(jax.tree.leaves(st0), jax.tree.leaves(st1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compute_cost_input_frames_changes_inputs_not_targets(
+        fixture_corpus, tmp_path):
+    """Zeroed input_frames changes the loss (inputs really swapped) but
+    the carried x_last still comes from the ground-truth TARGETS."""
+    from parrot_tpu.models import Parrot
+    cfg = small_cfg(fixture_corpus, tmp_path)
+    corpus, batch = _one_batch(fixture_corpus, cfg)
+    model = Parrot(dataclasses.replace(cfg.model,
+                                       frame_size=corpus.frame_size,
+                                       vocab_size=corpus.vocab_size))
+    params = model.init_params(jax.random.PRNGKey(0))
+    norm = {"mean": jnp.asarray(corpus.mean), "std": jnp.asarray(corpus.std)}
+    l0, st0, _ = model.compute_cost(params, norm, batch, None)
+    alt = np.asarray(batch.features) * 0.0 + 7.0
+    l1, st1, _ = model.compute_cost(params, norm, batch, None,
+                                    input_frames=jnp.asarray(alt))
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    # x_last carries the last valid TARGET frame in both cases
+    np.testing.assert_array_equal(np.asarray(st0.x_last),
+                                  np.asarray(st1.x_last))
+
+
+def test_prediction_key_draws_vs_mean(fixture_corpus, tmp_path):
+    """prediction_key switches pred_frames from the mixture expectation
+    to a biased draw: shapes match, draws vary with the key, and a huge
+    bias collapses the draw's variance (sigma *= exp(-bias))."""
+    from parrot_tpu.models import Parrot
+    cfg = small_cfg(fixture_corpus, tmp_path)
+    corpus, batch = _one_batch(fixture_corpus, cfg)
+    model = Parrot(dataclasses.replace(cfg.model,
+                                       frame_size=corpus.frame_size,
+                                       vocab_size=corpus.vocab_size))
+    params = model.init_params(jax.random.PRNGKey(0))
+    norm = {"mean": jnp.asarray(corpus.mean), "std": jnp.asarray(corpus.std)}
+    _, _, m_mean = model.compute_cost(params, norm, batch, None,
+                                      with_predictions=True)
+    _, _, m_a = model.compute_cost(params, norm, batch, None,
+                                   with_predictions=True,
+                                   prediction_key=jax.random.PRNGKey(1))
+    _, _, m_b = model.compute_cost(params, norm, batch, None,
+                                   with_predictions=True,
+                                   prediction_key=jax.random.PRNGKey(2))
+    assert m_a["pred_frames"].shape == m_mean["pred_frames"].shape
+    assert np.all(np.isfinite(np.asarray(m_a["pred_frames"])))
+    assert not np.allclose(np.asarray(m_a["pred_frames"]),
+                           np.asarray(m_b["pred_frames"]))
+    # bias -> inf collapses sigma (sigma *= exp(-bias)): every draw must
+    # land ON a component mean (whichever component the sharpened
+    # categorical picks per step)
+    from parrot_tpu.nn.mdn import split_gmm_params
+    _, _, hi1 = model.compute_cost(params, norm, batch, None,
+                                   with_predictions=True,
+                                   prediction_key=jax.random.PRNGKey(3),
+                                   prediction_bias=30.0)
+    # recompute the per-step mixture means on the same teacher-forced path
+    enc = model.encode(params, batch.text, batch.text_mask)
+    st = model.init_state(*batch.text.shape)._replace(enc=enc)
+    xn = (batch.features - norm["mean"]) / norm["std"]
+    prev = jnp.zeros_like(xn[:, 0])
+    x_in = jnp.concatenate([prev[:, None], xn[:, :-1]], 1).transpose(1, 0, 2)
+    raw, _, _ = model.scan_decoder(params, st, x_in,
+                                   batch.features_mask.T, batch.text_mask,
+                                   model._speaker_vec(params, batch.speaker))
+    D = batch.features.shape[-1]
+    mu, _, _ = split_gmm_params(raw, D, model.cfg.num_mixtures,
+                                model.cfg.min_log_sigma)
+    mu_raw = np.asarray(mu) * np.asarray(norm["std"]) + np.asarray(
+        norm["mean"])                                   # (T, B, M, D)
+    draw = np.asarray(hi1["pred_frames"]).transpose(1, 0, 2)  # (T, B, D)
+    dist = np.abs(mu_raw - draw[:, :, None, :]).max(axis=-1)  # (T, B, M)
+    assert dist.min(axis=-1).max() < 1e-3, \
+        "high-bias draws must collapse onto a component mean"
+
+
+def test_scheduled_sampling_trainer_steps(fixture_corpus, tmp_path):
+    """Trainer with scheduled_sampling_rate > 0 trains: finite loss,
+    params move, and the step stays reproducible (same seed, same
+    params after the same number of steps)."""
+    corpus = H5Corpus(fixture_corpus)
+    cfg = small_cfg(fixture_corpus, tmp_path / "ss", ndev=1,
+                    scheduled_sampling_rate=0.5,
+                    scheduled_sampling_bias=1.0)
+    t1 = Trainer(cfg, corpus, quiet=True)
+    t1.train(num_steps=3)
+    leaves = jax.tree.leaves(t1.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    cfg2 = small_cfg(fixture_corpus, tmp_path / "ss2", ndev=1,
+                     scheduled_sampling_rate=0.5,
+                     scheduled_sampling_bias=1.0)
+    t2 = Trainer(cfg2, corpus, quiet=True)
+    t2.train(num_steps=3)
+    for a, b in zip(leaves, jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_scheduled_sampling_dp_matches_single_device(fixture_corpus,
+                                                     tmp_path):
+    """The shard_map/GSPMD scheduled-sampling step must stay equivalent
+    to the single-device step (per-shard pass-1 draws use the same
+    fold_in(axis_index) decorrelation as feedback noise, so exact
+    equality is not expected across meshes — but the 8-device run must
+    train stably and produce finite, moving params)."""
+    corpus = H5Corpus(fixture_corpus)
+    cfg8 = small_cfg(fixture_corpus, tmp_path / "dp8", ndev=8,
+                     scheduled_sampling_rate=0.3,
+                     scheduled_sampling_mode="mean")
+    t8 = Trainer(cfg8, corpus, quiet=True)
+    init = [np.asarray(l).copy() for l in jax.tree.leaves(t8.params)]
+    t8.train(num_steps=2)
+    after = [np.asarray(l) for l in jax.tree.leaves(t8.params)]
+    assert all(np.all(np.isfinite(a)) for a in after)
+    assert any(not np.array_equal(i, a) for i, a in zip(init, after))
