@@ -188,7 +188,11 @@ def test_dtw_mcd_scales_to_real_utterances():
         d = mcd(a, b, use_dtw=True)
         dt = min(dt, time.perf_counter() - t0)
     assert np.isfinite(d) and d > 0
-    assert dt < 1.0, f"2000-frame DTW MCD took {dt:.2f}s (best of 3)"
+    # 2.0 s budget: ~0.5 s on an idle host; the pre-vectorization
+    # implementation took tens of seconds, so this still catches the
+    # regression while tolerating a loaded CI host (a concurrent
+    # training run's host pipeline can double wall time here)
+    assert dt < 2.0, f"2000-frame DTW MCD took {dt:.2f}s (best of 3)"
 
 
 def test_write_wav(tmp_path, vowel_analysis):
