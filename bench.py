@@ -5,22 +5,30 @@ chip (BASELINE.json:2 — vocoder frames/sec/chip + real-time factor).
 Prints ONE JSON line:
   {"metric": "batched_generation_rtf", "value": <x realtime>,
    "unit": "x_realtime", "vs_baseline": <value / 50>,
-   "spread_iqr": <x realtime>, "spread_pct": <IQR / value * 100>,
-   "samples": N}
+   "spread_iqr": <x realtime>, "spread_pct": <cross-session spread %>,
+   "spread_pct_within_session": <IQR / value * 100>, "samples": N}
 
 Baseline contract: the reference publishes no numbers (BASELINE.md); the
 driver-defined target is >50x realtime per chip at WORLD's 5 ms hop
 (200 frames/s of audio), so vs_baseline = RTF / 50.
 
-Robustness (VERDICT r3 weak #3): timing through the axon TPU tunnel has
-session-level variance of +-10-20% that a single 3-pass median does not
-suppress — round-over-round driver numbers moved 19% with no code
-change. The bench therefore runs GROUPS x PASSES independently timed
-pass samples, where each group re-builds the Sampler (fresh jit
-dispatch caches; XLA's compile cache keeps re-warmup cheap), and
-reports the median of all pass samples TOGETHER WITH their
-inter-quartile range. A future round's value is a regression only if it
-falls outside the printed spread of the previous round's.
+Robustness (VERDICT r3 weak #3, r4 weak #2): timing through the axon
+TPU tunnel has SESSION-level variance that within-session sampling
+cannot see — measured same-code gaps across sessions: 19% (r2->r3
+driver runs), 10% (r4 driver 5946x vs same-round re-measure 5385x),
+while the within-session IQR printed only 3.9-10%. The bench therefore
+runs GROUPS x PASSES independently timed pass samples (each group
+re-builds the Sampler for fresh jit dispatch caches; XLA's compile
+cache keeps re-warmup cheap) and prints TWO spread fields:
+
+  spread_pct_within_session — the IQR of this run's pass samples;
+  spread_pct — max(IQR, SESSION_SIGMA_PCT), where SESSION_SIGMA_PCT=20
+      is the documented cross-session variance floor (covers every
+      same-code session-to-session gap observed across rounds 2-4).
+
+Regression rule: a future round's value is a regression only if it
+falls outside `spread_pct` (NOT the within-session IQR) of the
+previous round's value.
 """
 
 import json
@@ -31,6 +39,11 @@ import numpy as np
 GROUPS = 3   # independent Sampler builds (fresh dispatch caches)
 PASSES = 3   # timed passes per group
 REPS = 10    # generations per pass (amortizes the host transfer)
+# Documented cross-session variance floor (%): the axon tunnel's
+# session-to-session same-code variance, measured across rounds 2-4
+# (19%, 10% gaps with identical code). Within-session IQR cannot see
+# this term, so the printed spread_pct is floored at this value.
+SESSION_SIGMA_PCT = 20.0
 
 
 def main():
@@ -85,13 +98,15 @@ def main():
     rtf = rtf_of(dt)
     # IQR in RTF units (q1 time -> high RTF, q3 -> low RTF)
     iqr = rtf_of(float(q1)) - rtf_of(float(q3))
+    iqr_pct = 100.0 * iqr / rtf
     print(json.dumps({
         "metric": "batched_generation_rtf",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 50.0, 3),
         "spread_iqr": round(iqr, 2),
-        "spread_pct": round(100.0 * iqr / rtf, 1),
+        "spread_pct": round(max(iqr_pct, SESSION_SIGMA_PCT), 1),
+        "spread_pct_within_session": round(iqr_pct, 1),
         "samples": len(times),
     }))
 
