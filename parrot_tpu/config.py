@@ -183,6 +183,12 @@ class TrainConfig:
     lr_schedule: str = "constant" # 'constant' | 'exponential'
     lr_decay_rate: float = 0.98
     lr_decay_steps: int = 10000
+    warmup_steps: int = 0         # linear LR warmup from 0 over this many
+                                  # steps (0 = off). Fine-tuning from a
+                                  # converged checkpoint with FRESH Adam
+                                  # moments takes oversized early steps
+                                  # (vhat is built from a handful of
+                                  # samples); warmup bounds them.
     num_steps: int = 100000       # FinishAfter
     save_every: int = 1000        # Checkpoint cadence (steps)
     eval_every: int = 500         # DataStreamMonitoring cadence (steps)

@@ -71,7 +71,8 @@ class Char2Wav:
     def compute_cost(self, params, norm, jbatch, state: Optional[JointState],
                      rng=None, frame_loss_weight: float = 1.0,
                      audio_loss_weight: float = 1.0,
-                     detach_frames: bool = False
+                     detach_frames: bool = False,
+                     input_frames=None
                      ) -> Tuple[jnp.ndarray, JointState, Dict]:
         """Teacher-forced joint segment cost.
 
@@ -80,6 +81,16 @@ class Char2Wav:
         (shared: the parrot model normalizes its inputs/targets with it,
         the vocoder normalizes its conditioning with it). Returns
         (scalar loss, new JointState, metrics with both halves' terms).
+
+        input_frames (B, S, D) RAW: alternative frames for the reader's
+        shifted teacher-forcing INPUT (targets stay jbatch.frames) —
+        the Trainer-style parallel scheduled-sampling hook
+        (Parrot.compute_cost docstring). A reader fine-tuned under
+        scheduled sampling sits at an optimum conditioned on consuming
+        its own frames; joint fine-tuning must match that regime or its
+        gradients pull the reader toward the pure-teacher-forced
+        optimum it was deliberately trained away from (the round-4
+        rich10k joint divergence, docs/PERFORMANCE.md round 5).
         """
         batch = jbatch.frames
         if state is None:
@@ -87,7 +98,7 @@ class Char2Wav:
                                     batch.text.shape[1])
         p_loss, p_state, p_metrics = self.parrot.compute_cost(
             params["parrot"], norm, batch, state.parrot, rng=rng,
-            with_predictions=True)
+            with_predictions=True, input_frames=input_frames)
         cond = p_metrics.pop("pred_frames")                    # (B, S, D) raw
         if detach_frames:
             cond = jax.lax.stop_gradient(cond)

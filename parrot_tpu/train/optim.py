@@ -32,8 +32,10 @@ def clip_by_global_norm(tree, max_norm: float):
 def lr_at(cfg: TrainConfig, step) -> jnp.ndarray:
     base = jnp.asarray(cfg.learning_rate, jnp.float32)
     if cfg.lr_schedule == "exponential":
-        return base * jnp.power(cfg.lr_decay_rate,
+        base = base * jnp.power(cfg.lr_decay_rate,
                                 step / float(cfg.lr_decay_steps))
+    if cfg.warmup_steps > 0:
+        base = base * jnp.minimum(1.0, step / float(cfg.warmup_steps))
     return base
 
 

@@ -236,6 +236,67 @@ def test_joint_two_segments_match_full(audio_corpus):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
+def test_joint_input_frames_passthrough(audio_corpus):
+    """The scheduled-sampling hook: input_frames=GT features must be
+    loss-identical to the default teacher-forced path (the hook only
+    changes the shifted INPUT, never the targets), and genuinely
+    different inputs must change the loss — pinning that the kwarg
+    reaches the reader and does what Parrot.compute_cost documents."""
+    model = _small_model(audio_corpus)
+    params = model.init_params(jax.random.PRNGKey(0))
+    norm = _norm(audio_corpus)
+    jb = _probe_batch(audio_corpus)
+    base, _, _ = model.compute_cost(params, norm, jb, None)
+    same, _, _ = model.compute_cost(params, norm, jb, None,
+                                    input_frames=jb.frames.features)
+    np.testing.assert_allclose(float(base), float(same), rtol=1e-6)
+    other, _, _ = model.compute_cost(
+        params, norm, jb, None,
+        input_frames=jnp.zeros_like(jb.frames.features))
+    assert abs(float(other) - float(base)) > 1e-6
+
+
+def test_cli_train_joint_scheduled_sampling_and_meta(tmp_path,
+                                                     audio_corpus):
+    """train_joint.py with the round-5 fine-tune knobs (scheduled
+    sampling, per-half reader LR scale, warmup) runs end-to-end, and
+    config.json records EVERY joint-entry hyperparameter (ADVICE r4:
+    the round-4 run was not reproducible from its artifacts)."""
+    import json
+
+    from tests.util_env import cpu_env
+    env = cpu_env()
+    save = str(tmp_path / "sm")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train_joint.py"),
+         "--dataset", audio_corpus.path, "--model_name", "c2wss",
+         "--save_dir", save, "--batch_size", "4", "--seq_size", "8",
+         "--max_text_len", "16", "--num_steps", "6", "--eval_every", "0",
+         "--save_every", "0", "--log_every", "2", "--num_devices", "4",
+         "--rnn_h_dim", "16", "--readouts_dim", "16",
+         "--encoder_dim", "8", "--embed_dim", "8",
+         "--decoder_layers", "2", "--attention_mixtures", "2",
+         "--num_mixtures", "2", "--vocoder_rnn_dim", "24",
+         "--vocoder_mlp_dim", "24", "--vocoder_embed_dim", "8",
+         "--scheduled_sampling_rate", "0.5",
+         "--scheduled_sampling_bias", "0.25",
+         "--reader_lr_scale", "0.1", "--warmup_steps", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    cfg = json.load(open(os.path.join(save, "c2wss", "config.json")))
+    j = cfg["joint"]
+    assert j["scheduled_sampling_rate"] == 0.5
+    assert j["reader_lr_scale"] == 0.1
+    assert j["warmup_steps"] == 4
+    assert j["learning_rate"] == 1e-4
+    assert j["frame_loss_weight"] == 1.0
+    # warmup: the logged lr at step 2 is half the base reader lr
+    lines = [json.loads(x) for x in open(
+        os.path.join(save, "c2wss", "metrics.jsonl"))]
+    tr = [x for x in lines if x["kind"] == "train" and x["step"] == 2]
+    assert tr and abs(tr[0]["lr"] - 1e-4 * 0.1 * 2 / 4) < 1e-9
+
+
 def test_cli_train_joint_export_and_generate(tmp_path, audio_corpus):
     from tests.util_env import cpu_env
     env = cpu_env()

@@ -72,9 +72,29 @@ def parse(argv=None):
                    help="TBPTT segment length in frames (x hop samples)")
     p.add_argument("--max_text_len", type=int, default=256)
     p.add_argument("--num_steps", type=int, default=5000)
-    p.add_argument("--learning_rate", type=float, default=2e-4,
+    p.add_argument("--learning_rate", type=float, default=1e-4,
                    help="fine-tuning default; lower than from-scratch")
+    p.add_argument("--reader_lr_scale", type=float, default=1.0,
+                   help="reader (parrot) LR = learning_rate * this. A "
+                        "converged reader sits at a much sharper optimum "
+                        "than the vocoder (its fine-tune ladder ended at "
+                        "1e-4 after 1e-3->3e-4->1e-4 decay); updating "
+                        "both halves at the vocoder's LR degrades it "
+                        "(round-4 rich10k joint divergence)")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup; bounds the oversized early "
+                        "Adam steps taken while fresh second moments "
+                        "are still built from a handful of samples")
     p.add_argument("--grad_clip", type=float, default=10.0)
+    # Scheduled sampling for the reader's joint gradient (same
+    # TPU-parallel two-pass design as the Trainer's, train/loop.py):
+    # a reader fine-tuned with SS must keep seeing its own frames
+    # during joint training, or the joint frame gradient drags it
+    # back toward the pure teacher-forced optimum.
+    p.add_argument("--scheduled_sampling_rate", type=float, default=0.0)
+    p.add_argument("--scheduled_sampling_mode", default="sample",
+                   choices=["sample", "mean"])
+    p.add_argument("--scheduled_sampling_bias", type=float, default=1.0)
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=50)
@@ -217,7 +237,15 @@ def main(argv=None):
             params["vocoder"] = v_params
     else:
         params = {"parrot": p_params, "vocoder": v_params}
-    opt_state = jax.jit(adam_init)(params)
+    # Per-half optimizer states: the reader and the vocoder step at
+    # different LRs (--reader_lr_scale) with per-half global-norm
+    # clipping — the reader's GMM-NLL gradients run in the thousands
+    # while the vocoder's mu-law NLL gradients sit near 0.3, so a
+    # shared clip/moment buffer couples two regimes three orders of
+    # magnitude apart. (Round-5 layout change: round-4 joint
+    # checkpoints with one fused state don't resume into this entry.)
+    opt_state = {"parrot": jax.jit(adam_init)(params["parrot"]),
+                 "vocoder": jax.jit(adam_init)(params["vocoder"])}
 
     dcfg = DataConfig(dataset=a.dataset, batch_size=a.batch_size,
                       seq_size=a.seq_size, max_text_len=a.max_text_len,
@@ -226,7 +254,10 @@ def main(argv=None):
                        learning_rate=a.learning_rate, grad_clip=a.grad_clip,
                        num_steps=a.num_steps, save_every=a.save_every,
                        eval_every=a.eval_every, log_every=a.log_every,
-                       seed=a.seed, num_devices=a.num_devices)
+                       seed=a.seed, num_devices=a.num_devices,
+                       warmup_steps=a.warmup_steps)
+    tcfg_reader = dataclasses.replace(
+        tcfg, learning_rate=a.learning_rate * a.reader_lr_scale)
 
     if a.batch_size % n_dev:
         sys.exit(f"batch_size {a.batch_size} not divisible by "
@@ -236,20 +267,60 @@ def main(argv=None):
     dstate = model.init_state(a.batch_size, a.max_text_len)
     st_sh = state_sharding(mesh, dstate)
 
+    # Scheduled-sampling pass 1 (the Trainer's TPU-parallel design,
+    # train/loop.py): a stop-gradient undifferentiated forward draws
+    # the reader's own per-step frames; the differentiated pass then
+    # trains with each reader INPUT frame replaced by the model's with
+    # probability `rate` (targets stay ground truth). Joint fine-tuning
+    # of an SS-trained reader must match that conditioning regime.
+    # Pass 1 traces the TRAIN reader, not an inference view: its
+    # pallas custom_vjp primal is the residual-free fwd-only kernel
+    # (ops/fused_train_scan.py), measured at 1.35x total vs 2x naive.
+    ss_rate = a.scheduled_sampling_rate
+    ss_reader = model.parrot if ss_rate > 0 else None
+
+    def ss_inputs(params, dstate, fbatch, key):
+        k_pred, k_coin = jax.random.split(key)
+        draw = (a.scheduled_sampling_mode == "sample"
+                and pcfg.which_cost == "GMM")
+        _, _, m1 = ss_reader.compute_cost(
+            params["parrot"], norm, fbatch, dstate.parrot,
+            with_predictions=True,
+            prediction_key=(k_pred if draw else None),
+            prediction_bias=a.scheduled_sampling_bias)
+        pred = jax.lax.stop_gradient(m1["pred_frames"])   # RAW (B, S, D)
+        coin = jax.random.bernoulli(
+            k_coin, ss_rate, (pred.shape[0], pred.shape[1], 1))
+        return jnp.where(coin, pred, fbatch.features)
+
     def train_step(params, opt_state, dstate, batch, step):
         rng = jax.random.fold_in(jax.random.PRNGKey(a.seed + 1), step)
+        input_frames = None
+        if ss_rate > 0:
+            rng, k_ss = jax.random.split(rng)
+            input_frames = ss_inputs(params, dstate, batch.frames, k_ss)
 
         def loss_fn(p):
             loss, new_state, metrics = model.compute_cost(
                 p, norm, batch, dstate, rng=rng,
                 frame_loss_weight=a.frame_loss_weight,
                 audio_loss_weight=a.audio_loss_weight,
-                detach_frames=a.detach_frames)
+                detach_frames=a.detach_frames,
+                input_frames=input_frames)
             return loss, (new_state, metrics)
 
         (loss, (new_state, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        params, opt_state, info = adam_update(params, grads, opt_state, tcfg)
+        new_pp, os_p, info_p = adam_update(
+            params["parrot"], grads["parrot"], opt_state["parrot"],
+            tcfg_reader)
+        new_pv, os_v, info_v = adam_update(
+            params["vocoder"], grads["vocoder"], opt_state["vocoder"], tcfg)
+        params = {"parrot": new_pp, "vocoder": new_pv}
+        opt_state = {"parrot": os_p, "vocoder": os_v}
+        info = {"grad_norm": info_p["grad_norm"],
+                "vocoder_grad_norm": info_v["grad_norm"],
+                "lr": info_p["lr"]}
         return params, opt_state, new_state, dict(metrics, **info)
 
     step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2),
@@ -272,8 +343,13 @@ def main(argv=None):
     ckpt = CheckpointManager(a.save_dir, a.model_name)
     log = MetricsLogger(a.save_dir, a.model_name, write_file=(pi == 0))
     parrot_full_cfg = ParrotConfig(model=pcfg, data=dcfg, train=tcfg)
+    # record EVERY joint-entry hyperparameter (loss weights, SS knobs,
+    # per-half LR scale, init checkpoint names) — the round-4 run's
+    # artifacts recorded only the reused config sections, which made
+    # the diverged run hard to reproduce from disk (ADVICE r4)
     meta_cfg = {"parrot": json.loads(parrot_full_cfg.to_json()),
-                "samplernn": dataclasses.asdict(vcfg)}
+                "samplernn": dataclasses.asdict(vcfg),
+                "joint": vars(a)}
     if pi == 0:
         os.makedirs(os.path.join(a.save_dir, a.model_name), exist_ok=True)
         with open(os.path.join(a.save_dir, a.model_name, "config.json"),
@@ -406,7 +482,10 @@ def main(argv=None):
                         frame_loss=metrics["frame_loss"],
                         audio_loss=metrics["audio_loss"],
                         bits_per_sample=metrics["bits_per_sample"],
-                        grad_norm=metrics.get("grad_norm", 0.0))
+                        grad_norm=metrics.get("grad_norm", 0.0),
+                        vocoder_grad_norm=metrics.get(
+                            "vocoder_grad_norm", 0.0),
+                        lr=metrics.get("lr", 0.0))
             if a.eval_every and step % a.eval_every == 0:
                 v, vf, va = run_eval(params)
                 is_best = v < best_valid
