@@ -346,6 +346,42 @@ class Trainer:
         self.log.log("resume", self.step)
         return True
 
+    def init_from(self, model_name: str, which: str = "best",
+                  save_dir: Optional[str] = None) -> int:
+        """Warm-start params + norm from ANOTHER model's checkpoint,
+        keeping fresh optimizer state, stream position, and step
+        counter — the corpus-transfer fine-tune entry (--resume cannot
+        serve it: it restores the stream position and TBPTT carry of
+        the ORIGINAL dataset). The checkpoint's normalization stats
+        REPLACE the new corpus's: the loaded params are calibrated to
+        the stats they were trained under, and feeding them features
+        standardized by different moments silently shifts every input.
+        Architectures must match (same param tree); returns the source
+        checkpoint's step for logging."""
+        from parrot_tpu.train.checkpoint import load_for_inference
+        src_model, src_params, src_norm, src_cfg, src_step = (
+            load_for_inference(save_dir or self.cfg.train.save_dir,
+                               model_name, which))
+        tpl = jax.tree.flatten(
+            jax.tree.map(lambda x: x.shape, self.params))
+        got = jax.tree.flatten(
+            jax.tree.map(lambda x: x.shape, src_params))
+        if tpl != got:
+            raise ValueError(
+                f"--init_from '{model_name}': param tree mismatch "
+                f"(checkpoint arch {src_cfg.model} differs from this "
+                f"run's model config)")
+        self.params = stage_local(
+            jax.tree.map(np.asarray, src_params),
+            self._repl_tree(self.params))
+        self.norm = {k: jnp.asarray(v) for k, v in src_norm.items()}
+        # step fns close over norm — rebuild with the loaded stats
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.log.log("init_from", 0, source=model_name,
+                     source_step=src_step)
+        return src_step
+
     # ------------------------------------------------------------------
     def evaluate(self, max_batches: Optional[int] = None) -> float:
         stream = parrot_stream(self.corpus, self.cfg.data, "valid",

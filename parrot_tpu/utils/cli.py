@@ -86,6 +86,10 @@ def train_parse(argv=None) -> ParrotConfig:
                         "corpus-embedded normalization stats (reference "
                         "Fuel-style stats file)")
     p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--warmup_steps", type=int, default=None,
+                   help="linear LR warmup; bounds the oversized early "
+                        "Adam steps of a warm-started fine-tune while "
+                        "fresh second moments build")
     p.add_argument("--grad_clip", type=float, default=None)
     p.add_argument("--num_steps", type=int, default=None)
     p.add_argument("--save_every", type=int, default=None)
@@ -111,9 +115,18 @@ def train_parse(argv=None) -> ParrotConfig:
     p.add_argument("--plot_alignments", action="store_true", default=None)
     p.add_argument("--tensorboard", action="store_true", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="warm-start params+norm from another trained "
+                        "model under the same save_dir (fresh optimizer "
+                        "/stream/step) — the corpus-transfer fine-tune "
+                        "entry (e.g. the long-text robustness leg)")
+    p.add_argument("--init_checkpoint", default="best",
+                   choices=["best", "latest"],
+                   help="which checkpoint of --init_from to load")
     args = p.parse_args(argv)
     cfg = _build_config(args, train_keys=[
-        "learning_rate", "grad_clip", "num_steps", "save_every",
+        "learning_rate", "warmup_steps", "grad_clip", "num_steps",
+        "save_every",
         "eval_every", "log_every", "early_stop_patience", "seed",
         "num_devices", "model_name", "save_dir", "debug_nans",
         "plot_alignments", "tensorboard", "scheduled_sampling_rate",

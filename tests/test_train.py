@@ -441,3 +441,48 @@ def test_scheduled_sampling_dp_matches_single_device(fixture_corpus,
     after = [np.asarray(l) for l in jax.tree.leaves(t8.params)]
     assert all(np.all(np.isfinite(a)) for a in after)
     assert any(not np.array_equal(i, a) for i, a in zip(init, after))
+
+
+def test_init_from_warm_starts_params_and_norm(fixture_corpus, tmp_path):
+    """Trainer.init_from (the corpus-transfer fine-tune entry, round-5
+    long-text robustness leg): params and NORM come from the source
+    checkpoint, optimizer state and step stay fresh, and training
+    proceeds on the new corpus."""
+    corpus_a = H5Corpus(fixture_corpus)
+    cfg_a = small_cfg(fixture_corpus, tmp_path, save_every=10,
+                      num_steps=10)
+    ta = Trainer(cfg_a, corpus_a, quiet=True)
+    ta.train(num_steps=10)
+
+    # a different corpus with matching dims (different seed -> stats)
+    path_b = str(tmp_path / "other.h5")
+    make_fixture_corpus(path_b, num_utterances=32, vocab_size=8,
+                        frame_size=6, frames_per_char=3, min_chars=3,
+                        max_chars=8, seed=9)
+    corpus_b = H5Corpus(path_b)
+    cfg_b = small_cfg(path_b, tmp_path, model_name="u")
+    tb = Trainer(cfg_b, corpus_b, quiet=True)
+    assert not np.allclose(np.asarray(tb.norm["mean"]),
+                           np.asarray(ta.norm["mean"]))
+    src_step = tb.init_from("t", which="latest")
+    assert src_step == 10
+    for a, b in zip(jax.tree.leaves(ta.params), jax.tree.leaves(tb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the checkpoint's norm REPLACES corpus B's stats
+    np.testing.assert_array_equal(np.asarray(tb.norm["mean"]),
+                                  np.asarray(ta.norm["mean"]))
+    # fresh optimizer + step counter
+    assert int(tb.opt_state["count"]) == 0
+    assert tb.step == 0
+    tb.train(num_steps=2)
+    assert tb.step == 2
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(tb.params))
+
+    # architecture mismatch is rejected
+    cfg_c = small_cfg(path_b, tmp_path, model_name="v")
+    cfg_c = cfg_c.replace(model=dataclasses.replace(
+        cfg_c.model, rnn_h_dim=32))
+    tc = Trainer(cfg_c, corpus_b, quiet=True)
+    with pytest.raises(ValueError, match="param tree mismatch"):
+        tc.init_from("t", which="latest")

@@ -52,6 +52,13 @@ def main(argv=None):
     cfg = cfg.replace(model=model)
 
     trainer = Trainer(cfg, corpus)
+    if args.init_from:
+        if args.resume:
+            sys.exit("--init_from and --resume are mutually exclusive: "
+                     "resume restores the run's own checkpoint")
+        src_step = trainer.init_from(args.init_from,
+                                     which=args.init_checkpoint)
+        print(f"warm-started from '{args.init_from}' (step {src_step})")
     if args.resume and not trainer.resume():
         sys.exit(f"--resume: no checkpoint found under "
                  f"{cfg.train.save_dir}/{cfg.train.model_name}")
