@@ -358,23 +358,32 @@ class Trainer:
         standardized by different moments silently shifts every input.
         Architectures must match (same param tree); returns the source
         checkpoint's step for logging."""
-        from parrot_tpu.train.checkpoint import load_for_inference
-        src_model, src_params, src_norm, src_cfg, src_step = (
-            load_for_inference(save_dir or self.cfg.train.save_dir,
-                               model_name, which))
-        tpl = jax.tree.flatten(
-            jax.tree.map(lambda x: x.shape, self.params))
-        got = jax.tree.flatten(
-            jax.tree.map(lambda x: x.shape, src_params))
-        if tpl != got:
+        # host-only restore against this Trainer's own param template —
+        # no device traffic until the single stage_local below (the
+        # load_for_inference path would device_put the whole tree and
+        # pull it back leaf-by-leaf over the tunnel)
+        from parrot_tpu.train.checkpoint import CheckpointManager
+        mgr = CheckpointManager(save_dir or self.cfg.train.save_dir,
+                                model_name)
+        tpl = {"params": jax.tree.map(
+                   lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   self.params),
+               "norm": self.norm}
+        try:
+            got = mgr.restore(tpl, which=which)
+        except (KeyError, ValueError) as e:
             raise ValueError(
-                f"--init_from '{model_name}': param tree mismatch "
-                f"(checkpoint arch {src_cfg.model} differs from this "
-                f"run's model config)")
-        self.params = stage_local(
-            jax.tree.map(np.asarray, src_params),
-            self._repl_tree(self.params))
-        self.norm = {k: jnp.asarray(v) for k, v in src_norm.items()}
+                f"--init_from '{model_name}': param tree mismatch — "
+                f"the checkpoint's architecture differs from this "
+                f"run's model config ({e})")
+        if got is None:
+            raise FileNotFoundError(
+                f"--init_from: no checkpoint under "
+                f"{save_dir or self.cfg.train.save_dir}/{model_name}")
+        src_step, trees, _meta = got
+        self.params = stage_local(trees["params"],
+                                  self._repl_tree(self.params))
+        self.norm = {k: jnp.asarray(v) for k, v in trees["norm"].items()}
         # step fns close over norm — rebuild with the loaded stats
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()

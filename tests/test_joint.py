@@ -256,6 +256,7 @@ def test_joint_input_frames_passthrough(audio_corpus):
     assert abs(float(other) - float(base)) > 1e-6
 
 
+@pytest.mark.slow
 def test_cli_train_joint_scheduled_sampling_and_meta(tmp_path,
                                                      audio_corpus):
     """train_joint.py with the round-5 fine-tune knobs (scheduled
