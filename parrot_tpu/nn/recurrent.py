@@ -288,6 +288,10 @@ def bidirectional_lstm_split(p_fwd, p_bwd, xs, mask,
     H = p_fwd["wh"].shape[0]
     z = LSTMCell.zero_state(B, H)
     if pallas and fuse_directions:
+        # same contract as lstm_scan_split: the plain-cell kernels
+        # compute no gate layer norm
+        assert "ln_g" not in p_fwd and "ln_g" not in p_bwd, \
+            "fused bilstm scan excludes layer_norm"
         from parrot_tpu.ops.fused_train_scan import make_pallas_bilstm_scan
         xp_f = LSTMCell.input_proj(p_fwd, xs, compute_dtype)
         xp_b = LSTMCell.input_proj(p_bwd, xs, compute_dtype)

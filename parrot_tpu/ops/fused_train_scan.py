@@ -123,7 +123,24 @@ def plan_pass(which, B, U, *, L, H, K, E, max_chunk, res_bytes,
     None if nothing fits."""
     idx = 0 if which in ("fwd", "fwd_only") else 1
     budget = budget_mb * 1024 * 1024
-    for enc_bytes, enc_dtype in ((4, jnp.float32), (2, jnp.bfloat16)):
+    if which == "fwd_only":
+        # Value-parity contract: the undifferentiated primal must
+        # compute the SAME numbers as the differentiated forward, so it
+        # inherits the fwd plan's enc_dtype (its smaller footprint
+        # could otherwise pick f32 enc at shapes where fwd fits only
+        # with bf16, giving eval/train a systematic forward offset) and
+        # re-plans only the chunk size.
+        base = plan_pass("fwd", B, U, L=L, H=H, K=K, E=E,
+                         max_chunk=max_chunk, res_bytes=res_bytes,
+                         budget_mb=budget_mb)
+        if base is None:
+            return None
+        _, enc_dtype = base
+        enc_choices = ((2 if enc_dtype == jnp.bfloat16 else 4,
+                        enc_dtype),)
+    else:
+        enc_choices = ((4, jnp.float32), (2, jnp.bfloat16))
+    for enc_bytes, enc_dtype in enc_choices:
         C = max_chunk
         while C >= 1:
             est = estimate_vmem_bytes(B, U, L=L, H=H, K=K, E=E, C=C,

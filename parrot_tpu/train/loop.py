@@ -362,9 +362,18 @@ class Trainer:
         # no device traffic until the single stage_local below (the
         # load_for_inference path would device_put the whole tree and
         # pull it back leaf-by-leaf over the tunnel)
+        import os
         from parrot_tpu.train.checkpoint import CheckpointManager
-        mgr = CheckpointManager(save_dir or self.cfg.train.save_dir,
-                                model_name)
+        root = save_dir or self.cfg.train.save_dir
+        mgr = CheckpointManager(root, model_name)
+        if which == "best" and not os.path.exists(
+                os.path.join(root, model_name, "best")):
+            # _resolve falls back to the newest step dir; that silent
+            # substitution (possibly-overfit latest params under a
+            # 'best' request) must be visible to the operator
+            print(f"[init_from] warning: '{model_name}' has no 'best' "
+                  f"pointer — loading the latest step checkpoint "
+                  f"instead")
         tpl = {"params": jax.tree.map(
                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                    self.params),

@@ -44,7 +44,10 @@ def attention_stats(phi, n_frames, U):
     phi = np.asarray(phi[:n_frames, :U], np.float64)
     T = phi.shape[0]
     if T == 0:
-        return dict(coverage=0.0, mono_violations=1.0, max_stall=np.inf,
+        # zero generated frames: stall length is undefined (-1 marker;
+        # a finite int keeps the row's max()/json serializable —
+        # completion/natural_stop already record the failure)
+        return dict(coverage=0.0, mono_violations=1.0, max_stall=-1,
                     end_reached=False)
     tot = phi.sum(axis=1, keepdims=True)
     ok = tot[:, 0] > 1e-6
@@ -161,9 +164,10 @@ def main():
                                 use_dtw=True))
             floor_d.append(mcd(refs[i][:, :n_sp], floors[i][:, :n_sp],
                                use_dtw=True))
-            j = (i + 1) % a.per_length
-            shuf_d.append(mcd(refs[i][:, :n_sp], refs[j][:, :n_sp],
-                              use_dtw=True))
+            if a.per_length > 1:  # self-pairing would report 0
+                j = (i + 1) % a.per_length
+                shuf_d.append(mcd(refs[i][:, :n_sp], refs[j][:, :n_sp],
+                                  use_dtw=True))
         row = {
             "U": U,
             "completion_rate": float(np.mean(
@@ -183,7 +187,8 @@ def main():
                  for s in stats])),
             "dtw_mcd": float(np.mean(mcds)) if mcds else float("nan"),
             "floor_mcd": float(np.mean(floor_d)),
-            "shuffled_mcd": float(np.mean(shuf_d)),
+            "shuffled_mcd": (float(np.mean(shuf_d)) if shuf_d
+                             else float("nan")),
             "n": a.per_length,
         }
         rows.append(row)

@@ -394,8 +394,17 @@ def main(argv=None):
 
     step, best_valid, seen_segments = 0, float("inf"), 0
     if a.resume:
-        r = ckpt.restore({"params": params, "opt_state": opt_state,
-                          "dstate": dstate, "norm": norm})
+        try:
+            r = ckpt.restore({"params": params, "opt_state": opt_state,
+                              "dstate": dstate, "norm": norm})
+        except KeyError as e:
+            # pre-round-5 joint checkpoints stored ONE fused opt_state
+            # for both halves; the per-half layout cannot resume it
+            sys.exit(f"--resume: checkpoint layout mismatch ({e}). "
+                     f"Joint checkpoints written before the per-half "
+                     f"optimizer split (round 5) cannot be resumed; "
+                     f"re-run the fine-tune from its --parrot_init/"
+                     f"--vocoder_init halves instead.")
         if r is None:
             sys.exit(f"--resume: no checkpoint under "
                      f"{a.save_dir}/{a.model_name}")
