@@ -223,6 +223,18 @@ def test_vmem_planner():
                      **dims) is None
     assert pallas_scan_fits(256, 128, **dims)
     assert not pallas_scan_fits(256, 512, **dims)
+    # value-parity contract: the fwd_only plan INHERITS the fwd plan's
+    # enc dtype even though its smaller footprint would fit f32 enc —
+    # the undifferentiated primal must compute the same forward numbers
+    # as the differentiated pass (round-5 review fix)
+    c, dt = plan_pass("fwd_only", 256, 256, max_chunk=2, res_bytes=2,
+                      **dims)
+    assert dt == jnp.bfloat16
+    c, dt = plan_pass("fwd_only", 256, 128, max_chunk=2, res_bytes=2,
+                      **dims)
+    assert dt == jnp.float32
+    assert plan_pass("fwd_only", 256, 512, max_chunk=2, res_bytes=2,
+                     **dims) is None
 
 
 @pytest.mark.parametrize("reverse,T,chunk", [(False, 6, 2), (True, 6, 2),
