@@ -63,6 +63,18 @@ def main(argv=None):
     if len(jax.devices()) > 1:
         from parrot_tpu.parallel import make_mesh
         mesh = make_mesh()
+    if args.max_steps_per_token is not None:
+        # scale the budget with the longest input instead of a fixed
+        # cap — biased sampling paces up to ~1.5x slower than ground
+        # truth (docs/PERFORMANCE.md round-5 robustness), so fixed
+        # max_steps silently truncates long OOD text
+        import math
+        longest = max(len(t) for t in ids)
+        ms = int(math.ceil(args.max_steps_per_token * longest))
+        cfg = cfg.replace(sample=dataclasses.replace(cfg.sample,
+                                                     max_steps=ms))
+        print(f"max_steps scaled to {ms} "
+              f"({args.max_steps_per_token:g}/token x {longest} tokens)")
     sampler = Sampler(model, params, norm, cfg.sample, mesh=mesh)
     out_dir = os.path.join(cfg.train.save_dir, cfg.train.model_name,
                            args.samples_name)

@@ -142,6 +142,15 @@ def generate_parse(argv=None):
     p.add_argument("--speaker_id", type=int, default=0)
     p.add_argument("--sampling_bias", type=float, default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--max_steps_per_token", type=float, default=None,
+                   help="scale the generation budget with the longest "
+                        "input: max_steps = ceil(this * max text len). "
+                        "The robustness study (docs/PERFORMANCE.md round "
+                        "5) measured ~20 frames/token corpora paced at "
+                        "up to 1.5x under biased sampling — a fixed "
+                        "max_steps silently truncates long OOD text; "
+                        "30 is a safe value there. Overrides "
+                        "--max_steps when both are given")
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--samples_name", type=str, default="samples")
     p.add_argument("--checkpoint", type=str, default="best",

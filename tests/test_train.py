@@ -486,3 +486,36 @@ def test_init_from_warm_starts_params_and_norm(fixture_corpus, tmp_path):
     tc = Trainer(cfg_c, corpus_b, quiet=True)
     with pytest.raises(ValueError, match="param tree mismatch"):
         tc.init_from("t", which="latest")
+
+
+@pytest.mark.slow
+def test_cli_generate_max_steps_per_token(fixture_corpus, tmp_path):
+    """generate.py --max_steps_per_token scales the generation budget
+    with the longest input text (round-5 robustness lever) and caps
+    every emitted sample accordingly."""
+    import subprocess
+    import sys
+
+    from tests.util_env import cpu_env
+
+    corpus = H5Corpus(fixture_corpus)
+    cfg = small_cfg(fixture_corpus, tmp_path, save_every=8, num_steps=8)
+    Trainer(cfg, corpus, quiet=True).train(num_steps=8)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "generate.py"),
+         "--dataset", fixture_corpus, "--model_name", "t",
+         "--save_dir", str(tmp_path), "--num_samples", "2",
+         "--max_steps_per_token", "5", "--checkpoint", "latest",
+         "--no_plots"],
+        cwd=repo, env=cpu_env(), capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "max_steps scaled to" in r.stdout
+    longest = max(len(corpus.text(int(i)))
+                  for i in corpus.split("valid")[:2])
+    out = os.path.join(str(tmp_path), "t", "samples")
+    for i in range(2):
+        frames = np.load(os.path.join(out, f"sample_{i}_frames.npy"))
+        assert frames.shape[0] <= 5 * longest
