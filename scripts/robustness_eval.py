@@ -77,6 +77,14 @@ def main():
     p.add_argument("--checkpoint", default="best")
     p.add_argument("--lengths", default="20,40,60,80,120,160")
     p.add_argument("--per_length", type=int, default=8)
+    p.add_argument("--text_mode", default="random",
+                   choices=["random", "repeat_runs"],
+                   help="random: uniform token draws (the corpus's own "
+                        "text distribution); repeat_runs: each drawn "
+                        "token repeated 2-8 times — long same-token "
+                        "runs give the windowed attention no content "
+                        "cue to advance on, the classic failure probe "
+                        "for location-based attention")
     p.add_argument("--sampling_bias", type=float, default=1.0)
     p.add_argument("--frames_per_token_cap", type=int, default=28,
                    help="max_steps = cap * longest length (rich corpus "
@@ -126,7 +134,15 @@ def main():
     for U in lengths:
         texts, spks, refs, floors = [], [], [], []
         for i in range(a.per_length):
-            ids = rng.integers(1, a.vocab_size, size=U).astype(np.int32)
+            if a.text_mode == "repeat_runs":
+                toks = []
+                while len(toks) < U:
+                    toks += [int(rng.integers(1, a.vocab_size))] * int(
+                        rng.integers(2, 9))
+                ids = np.asarray(toks[:U], np.int32)
+            else:
+                ids = rng.integers(1, a.vocab_size, size=U).astype(
+                    np.int32)
             spk = int(rng.integers(0, a.num_speakers))
             texts.append(ids)
             spks.append(spk)
