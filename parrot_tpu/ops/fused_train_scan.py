@@ -798,6 +798,43 @@ def lstm_plan_chunk(B, H, *, max_chunk, res_bytes,
     return None
 
 
+def _lstm_cell_fwd(g, h, c, m, H):
+    """One plain-LSTM cell step from gate pre-activations g; returns
+    the MASKED (h, c) plus g for the residual stream. Shared by the
+    single-direction and direction-fused kernels — one copy of the
+    gate math keeps the 'exactly the two single-direction passes'
+    parity contract mechanical."""
+    i = _sigmoid(g[:, :H])
+    f = _sigmoid(g[:, H:2 * H])
+    z = jnp.tanh(g[:, 2 * H:3 * H])
+    o = _sigmoid(g[:, 3 * H:])
+    c_new = f * c + i * z
+    h_new = o * jnp.tanh(c_new)
+    return m * h_new + (1 - m) * h, m * c_new + (1 - m) * c, g
+
+
+def _lstm_cell_bwd(g, cp, dh_tot, dc, m, H):
+    """Backward of _lstm_cell_fwd: (dgates, dc_prev) from the f32 gate
+    residuals, the previous cell, the TOTAL incoming dh (carry +
+    upstream), and the carried dc. The caller adds the recurrent
+    _dot(dg, whT) term into its dh carry."""
+    i = _sigmoid(g[:, :H])
+    f = _sigmoid(g[:, H:2 * H])
+    z = jnp.tanh(g[:, 2 * H:3 * H])
+    o = _sigmoid(g[:, 3 * H:])
+    cpv = f * cp + i * z
+    tc = jnp.tanh(cpv)
+    dhp = m * dh_tot
+    dcp = m * dc + dhp * o * (1 - tc * tc)
+    dg = jnp.concatenate([
+        dcp * z * i * (1 - i),
+        dcp * cp * f * (1 - f),
+        dcp * i * (1 - z * z),
+        dhp * tc * o * (1 - o)], axis=-1)
+    dc_new = (1 - m) * dc + dcp * f
+    return dg, dc_new
+
+
 def _make_lstm_fwd_kernel(*, B, H, C, reverse, res_dtype,
                           emit_residuals=True):
     def kernel(*refs):
@@ -815,16 +852,9 @@ def _make_lstm_fwd_kernel(*, B, H, C, reverse, res_dtype,
 
         steps = reversed(range(C)) if reverse else range(C)
         for s in steps:
-            m = mask_ref[s][:, 0:1]
             g = xp_ref[s] + _dot(h_s[:], wh_ref[:]) + b_ref[:]
-            i = _sigmoid(g[:, :H])
-            f = _sigmoid(g[:, H:2 * H])
-            z = jnp.tanh(g[:, 2 * H:3 * H])
-            o = _sigmoid(g[:, 3 * H:])
-            c_new = f * c_s[:] + i * z
-            h_new = o * jnp.tanh(c_new)
-            h = m * h_new + (1 - m) * h_s[:]
-            c = m * c_new + (1 - m) * c_s[:]
+            h, c, g = _lstm_cell_fwd(g, h_s[:], c_s[:],
+                                     mask_ref[s][:, 0:1], H)
             h_s[:] = h
             c_s[:] = c
             hs_out[s] = h
@@ -850,24 +880,12 @@ def _make_lstm_bwd_kernel(*, B, H, C, reverse, res_dtype, grad_dtype):
         steps = range(C) if reverse else reversed(range(C))
         for s in steps:
             m = mask_ref[s][:, 0:1]
-            g = gates_ref[s].astype(F32)
-            i = _sigmoid(g[:, :H])
-            f = _sigmoid(g[:, H:2 * H])
-            z = jnp.tanh(g[:, 2 * H:3 * H])
-            o = _sigmoid(g[:, 3 * H:])
-            cp = cprev_ref[s]
-            cpv = f * cp + i * z
-            tc = jnp.tanh(cpv)
             dh_tot = dh_s[:] + dh_up_ref[s]
-            dhp = m * dh_tot
-            dcp = m * dc_s[:] + dhp * o * (1 - tc * tc)
-            dg = jnp.concatenate([
-                dcp * z * i * (1 - i),
-                dcp * cp * f * (1 - f),
-                dcp * i * (1 - z * z),
-                dhp * tc * o * (1 - o)], axis=-1)
+            dg, dc_new = _lstm_cell_bwd(gates_ref[s].astype(F32),
+                                        cprev_ref[s], dh_tot, dc_s[:],
+                                        m, H)
             dh_s[:] = (1 - m) * dh_tot + _dot(dg, whT_ref[:])
-            dc_s[:] = (1 - m) * dc_s[:] + dcp * f
+            dc_s[:] = dc_new
             dgates_out[s] = dg.astype(grad_dtype)
         dfinal_out[:] = jnp.concatenate([dh_s[:], dc_s[:]], axis=-1)
 
@@ -1092,16 +1110,6 @@ def bilstm_plan_chunk(B, H, *, max_chunk, res_bytes,
     return None
 
 
-def _lstm_cell_fwd(g, h, c, m, H):
-    i = _sigmoid(g[:, :H])
-    f = _sigmoid(g[:, H:2 * H])
-    z = jnp.tanh(g[:, 2 * H:3 * H])
-    o = _sigmoid(g[:, 3 * H:])
-    c_new = f * c + i * z
-    h_new = o * jnp.tanh(c_new)
-    return m * h_new + (1 - m) * h, m * c_new + (1 - m) * c, g
-
-
 def _make_bilstm_fwd_kernel(*, B, H, C, res_dtype, emit_residuals=True):
     def kernel(*refs):
         i = 0
@@ -1148,24 +1156,6 @@ def _make_bilstm_fwd_kernel(*, B, H, C, res_dtype, emit_residuals=True):
             [hf_s[:], cf_s[:], hb_s[:], cb_s[:]], axis=-1)
 
     return kernel
-
-
-def _lstm_cell_bwd(g, cp, dh_tot, dc, m, H):
-    i = _sigmoid(g[:, :H])
-    f = _sigmoid(g[:, H:2 * H])
-    z = jnp.tanh(g[:, 2 * H:3 * H])
-    o = _sigmoid(g[:, 3 * H:])
-    cpv = f * cp + i * z
-    tc = jnp.tanh(cpv)
-    dhp = m * dh_tot
-    dcp = m * dc + dhp * o * (1 - tc * tc)
-    dg = jnp.concatenate([
-        dcp * z * i * (1 - i),
-        dcp * cp * f * (1 - f),
-        dcp * i * (1 - z * z),
-        dhp * tc * o * (1 - o)], axis=-1)
-    dc_new = (1 - m) * dc + dcp * f
-    return dg, dc_new
 
 
 def _make_bilstm_bwd_kernel(*, B, H, C, res_dtype, grad_dtype):

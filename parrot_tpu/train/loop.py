@@ -34,6 +34,33 @@ from parrot_tpu.train.optim import adam_init, adam_update
 from parrot_tpu.utils.logging import MetricsLogger
 
 
+def scheduled_sampling_inputs(model, params, norm, batch, dstate, key,
+                              *, rate, mode, bias):
+    """Pass 1 of the TPU-parallel scheduled-sampling design
+    (config.TrainConfig docstring): an undifferentiated forward — its
+    pallas custom_vjp primal is the residual-free fused kernel — draws
+    the model's own per-step frames; the caller's differentiated pass
+    then consumes the returned (B, S, D) RAW inputs, where each
+    ground-truth input frame is replaced by the model's with
+    probability `rate` (targets stay ground truth).
+
+    ONE shared implementation for the Trainer and train_joint.py: the
+    round-4 joint divergence was precisely a training-regime mismatch
+    between the two entries, so the SS contract (key split order,
+    GMM-only sampled draws, stop_gradient, coin mix) must not be able
+    to drift between them."""
+    k_pred, k_coin = jax.random.split(key)
+    draw = (mode == "sample" and model.cfg.which_cost == "GMM")
+    _, _, m1 = model.compute_cost(
+        params, norm, batch, dstate, with_predictions=True,
+        prediction_key=(k_pred if draw else None),
+        prediction_bias=bias)
+    pred = jax.lax.stop_gradient(m1["pred_frames"])      # RAW (B, S, D)
+    coin = jax.random.bernoulli(k_coin, rate,
+                                (pred.shape[0], pred.shape[1], 1))
+    return jnp.where(coin, pred, batch.features)
+
+
 class Trainer:
     def __init__(self, cfg: ParrotConfig, corpus: H5Corpus,
                  mesh=None, quiet: bool = False):
@@ -179,20 +206,12 @@ class Trainer:
         # undifferentiated pass gets the fused-kernel speed without the
         # residual HBM streams the old inference_view detour avoided.
         ss_rate = tcfg.scheduled_sampling_rate
-        ss_model = model if ss_rate > 0 else None
 
         def ss_inputs(params, dstate, batch, key):
-            k_pred, k_coin = jax.random.split(key)
-            draw = (tcfg.scheduled_sampling_mode == "sample"
-                    and model.cfg.which_cost == "GMM")
-            _, _, m1 = ss_model.compute_cost(
-                params, norm, batch, dstate, with_predictions=True,
-                prediction_key=(k_pred if draw else None),
-                prediction_bias=tcfg.scheduled_sampling_bias)
-            pred = jax.lax.stop_gradient(m1["pred_frames"])  # RAW (B,S,D)
-            coin = jax.random.bernoulli(
-                k_coin, ss_rate, (pred.shape[0], pred.shape[1], 1))
-            return jnp.where(coin, pred, batch.features)
+            return scheduled_sampling_inputs(
+                model, params, norm, batch, dstate, key,
+                rate=ss_rate, mode=tcfg.scheduled_sampling_mode,
+                bias=tcfg.scheduled_sampling_bias)
 
         if self._use_shard_map():
             from jax import shard_map
@@ -365,15 +384,22 @@ class Trainer:
         import os
         from parrot_tpu.train.checkpoint import CheckpointManager
         root = save_dir or self.cfg.train.save_dir
+        if not os.path.isdir(os.path.join(root, model_name)):
+            # check BEFORE constructing the manager: its __init__
+            # makedirs the model dir, and a typo'd --init_from must
+            # not leave a junk empty directory under save_dir
+            raise FileNotFoundError(
+                f"--init_from: no model directory "
+                f"{os.path.join(root, model_name)}")
         mgr = CheckpointManager(root, model_name)
-        if which == "best" and not os.path.exists(
-                os.path.join(root, model_name, "best")):
+        if not os.path.exists(os.path.join(root, model_name, which)):
             # _resolve falls back to the newest step dir; that silent
             # substitution (possibly-overfit latest params under a
-            # 'best' request) must be visible to the operator
-            print(f"[init_from] warning: '{model_name}' has no 'best' "
-                  f"pointer — loading the latest step checkpoint "
-                  f"instead")
+            # 'best' request, or an arbitrary step under a lost
+            # 'latest' pointer) must be visible to the operator
+            print(f"[init_from] warning: '{model_name}' has no "
+                  f"'{which}' pointer — loading the newest step "
+                  f"checkpoint instead")
         tpl = {"params": jax.tree.map(
                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                    self.params),

@@ -44,10 +44,11 @@ def attention_stats(phi, n_frames, U):
     phi = np.asarray(phi[:n_frames, :U], np.float64)
     T = phi.shape[0]
     if T == 0:
-        # zero generated frames: stall length is undefined (-1 marker;
-        # a finite int keeps the row's max()/json serializable —
-        # completion/natural_stop already record the failure)
-        return dict(coverage=0.0, mono_violations=1.0, max_stall=-1,
+        # zero generated frames: stall length and monotonicity are
+        # undefined (no trajectory exists — a stop failure must not be
+        # misreported as attention breakage; completion/natural_stop
+        # record it). -1 keeps the row's max()/json serializable.
+        return dict(coverage=0.0, mono_violations=0.0, max_stall=-1,
                     end_reached=False)
     tot = phi.sum(axis=1, keepdims=True)
     ok = tot[:, 0] > 1e-6

@@ -267,31 +267,19 @@ def main(argv=None):
     dstate = model.init_state(a.batch_size, a.max_text_len)
     st_sh = state_sharding(mesh, dstate)
 
-    # Scheduled-sampling pass 1 (the Trainer's TPU-parallel design,
-    # train/loop.py): a stop-gradient undifferentiated forward draws
-    # the reader's own per-step frames; the differentiated pass then
-    # trains with each reader INPUT frame replaced by the model's with
-    # probability `rate` (targets stay ground truth). Joint fine-tuning
-    # of an SS-trained reader must match that conditioning regime.
-    # Pass 1 traces the TRAIN reader, not an inference view: its
-    # pallas custom_vjp primal is the residual-free fwd-only kernel
-    # (ops/fused_train_scan.py), measured at 1.35x total vs 2x naive.
+    # Scheduled-sampling pass 1: the SAME implementation the Trainer
+    # uses (train/loop.scheduled_sampling_inputs — one shared contract
+    # so the joint regime cannot drift from the reader's own; the
+    # round-4 divergence was exactly such a regime mismatch). Joint
+    # fine-tuning of an SS-trained reader must keep this conditioning.
     ss_rate = a.scheduled_sampling_rate
-    ss_reader = model.parrot if ss_rate > 0 else None
 
     def ss_inputs(params, dstate, fbatch, key):
-        k_pred, k_coin = jax.random.split(key)
-        draw = (a.scheduled_sampling_mode == "sample"
-                and pcfg.which_cost == "GMM")
-        _, _, m1 = ss_reader.compute_cost(
-            params["parrot"], norm, fbatch, dstate.parrot,
-            with_predictions=True,
-            prediction_key=(k_pred if draw else None),
-            prediction_bias=a.scheduled_sampling_bias)
-        pred = jax.lax.stop_gradient(m1["pred_frames"])   # RAW (B, S, D)
-        coin = jax.random.bernoulli(
-            k_coin, ss_rate, (pred.shape[0], pred.shape[1], 1))
-        return jnp.where(coin, pred, fbatch.features)
+        from parrot_tpu.train.loop import scheduled_sampling_inputs
+        return scheduled_sampling_inputs(
+            model.parrot, params["parrot"], norm, fbatch, dstate.parrot,
+            key, rate=ss_rate, mode=a.scheduled_sampling_mode,
+            bias=a.scheduled_sampling_bias)
 
     def train_step(params, opt_state, dstate, batch, step):
         rng = jax.random.fold_in(jax.random.PRNGKey(a.seed + 1), step)
@@ -398,13 +386,19 @@ def main(argv=None):
             r = ckpt.restore({"params": params, "opt_state": opt_state,
                               "dstate": dstate, "norm": norm})
         except KeyError as e:
-            # pre-round-5 joint checkpoints stored ONE fused opt_state
-            # for both halves; the per-half layout cannot resume it
-            sys.exit(f"--resume: checkpoint layout mismatch ({e}). "
-                     f"Joint checkpoints written before the per-half "
-                     f"optimizer split (round 5) cannot be resumed; "
-                     f"re-run the fine-tune from its --parrot_init/"
-                     f"--vocoder_init halves instead.")
+            if "opt_state/" in str(e):
+                # pre-round-5 joint checkpoints stored ONE fused
+                # opt_state for both halves; the per-half layout
+                # cannot resume it
+                sys.exit(f"--resume: checkpoint layout mismatch ({e})."
+                         f" Joint checkpoints written before the "
+                         f"per-half optimizer split (round 5) cannot "
+                         f"be resumed; re-run the fine-tune from its "
+                         f"--parrot_init/--vocoder_init halves "
+                         f"instead.")
+            sys.exit(f"--resume: checkpoint does not match this run's "
+                     f"configuration ({e}) — check the model flags "
+                     f"against the saved config.json")
         if r is None:
             sys.exit(f"--resume: no checkpoint under "
                      f"{a.save_dir}/{a.model_name}")
